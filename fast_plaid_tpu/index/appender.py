@@ -1,0 +1,174 @@
+"""Incremental index append (the native ``update`` op).
+
+Equivalent of the reference's update_index (reference:
+rust/index/update.rs:30-473): compress new documents with the existing
+codec, merge them into the last chunk when it is small (<2000 docs,
+update.rs:81-109) or append fresh chunks, optionally refresh the
+cluster threshold as a count-weighted average of old and new 0.75-quantile
+residual norms (update.rs:278-299), and rebuild the IVF + metadata.
+
+Difference by design: the reference splices new pids into the flat IVF in
+place (update.rs:317-444) to avoid a rebuild; here the IVF rebuild is one
+vectorized numpy dedup (index/ivf.py) which is simpler and fast enough —
+revisit with the native C++ path if profiling says otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from fast_plaid_tpu.index import ivf as ivf_mod
+from fast_plaid_tpu.index import storage
+from fast_plaid_tpu.index.builder import compress_documents
+from fast_plaid_tpu.ops import codec as codec_ops
+
+__all__ = ["update_index"]
+
+MAX_DOCS_REOPEN_CHUNK = 2000
+
+
+def _load_chunk(index_path: str, i: int):
+    cpath, rpath, dpath, _ = storage.chunk_paths(index_path, i)
+    codes = np.load(cpath)
+    residuals = np.load(rpath)
+    with open(dpath) as f:
+        doclens = json.load(f)
+    return codes, residuals, doclens
+
+
+def _write_chunk(
+    index_path: str,
+    i: int,
+    codes: np.ndarray,
+    residuals: np.ndarray,
+    doclens: list[int],
+    embedding_offset: int,
+) -> None:
+    cpath, rpath, dpath, mpath = storage.chunk_paths(index_path, i)
+    np.save(cpath, codes.astype(np.int32, copy=False))
+    np.save(rpath, residuals.astype(np.uint8, copy=False))
+    with open(dpath, "w") as f:
+        json.dump(doclens, f)
+    with open(mpath, "w") as f:
+        json.dump(
+            {
+                "num_documents": len(doclens),
+                "num_embeddings": int(codes.shape[0]),
+                "embedding_offset": embedding_offset,
+            },
+            f,
+            indent=4,
+        )
+
+
+def update_index(
+    index_path: str,
+    documents_embeddings,
+    batch_size: int = 25_000,
+    update_threshold_centroids: bool = False,
+) -> None:
+    """Append documents to an existing on-disk index."""
+    import os
+
+    documents = [np.asarray(d, dtype=np.float32) for d in documents_embeddings]
+    if not documents:
+        return
+    meta = storage.load_metadata(index_path)
+    nbits = int(meta["nbits"])
+    centroids = np.load(os.path.join(index_path, "centroids.npy")).astype(np.float32)
+    bucket_cutoffs = np.load(os.path.join(index_path, "bucket_cutoffs.npy"))
+
+    new_codes, new_packed = compress_documents(
+        documents, centroids, bucket_cutoffs, nbits
+    )
+    new_doclens = [int(d.shape[0]) for d in documents]
+
+    if update_threshold_centroids:
+        # Count-weighted average of the old and new residual-norm quantiles.
+        flat = np.concatenate(documents, axis=0)
+        residuals = flat - centroids[new_codes]
+        new_q = float(np.quantile(np.linalg.norm(residuals, axis=-1), 0.75))
+        old_q = float(
+            np.load(os.path.join(index_path, "cluster_threshold.npy")).item()
+        )
+        old_n = int(meta.get("num_embeddings", 0))
+        new_n = int(flat.shape[0])
+        merged = (old_q * old_n + new_q * new_n) / max(old_n + new_n, 1)
+        np.save(
+            os.path.join(index_path, "cluster_threshold.npy"), np.float32(merged)
+        )
+
+    num_chunks = int(meta["num_chunks"])
+
+    # Re-open the last chunk when it is small, else start a new one.
+    docs_cursor = 0
+    tokens_cursor = 0
+    if num_chunks > 0:
+        last_codes, last_res, last_doclens = _load_chunk(index_path, num_chunks - 1)
+        with open(storage.chunk_paths(index_path, num_chunks - 1)[3]) as f:
+            last_meta = json.load(f)
+        if len(last_doclens) < MAX_DOCS_REOPEN_CHUNK:
+            room = max(0, MAX_DOCS_REOPEN_CHUNK - len(last_doclens))
+            take = min(room, len(new_doclens))
+            take_tokens = int(sum(new_doclens[:take]))
+            merged_codes = np.concatenate([last_codes, new_codes[:take_tokens]])
+            merged_res = np.concatenate([last_res, new_packed[:take_tokens]], axis=0)
+            merged_doclens = list(last_doclens) + new_doclens[:take]
+            _write_chunk(
+                index_path,
+                num_chunks - 1,
+                merged_codes,
+                merged_res,
+                merged_doclens,
+                int(last_meta.get("embedding_offset", 0)),
+            )
+            docs_cursor = take
+            tokens_cursor = take_tokens
+
+    # Remaining docs -> new chunks of up to batch_size documents.
+    while docs_cursor < len(new_doclens):
+        chunk_docs = new_doclens[docs_cursor : docs_cursor + batch_size]
+        chunk_tokens = int(sum(chunk_docs))
+        offset_meta = int(meta.get("num_embeddings", 0)) + tokens_cursor
+        _write_chunk(
+            index_path,
+            num_chunks,
+            new_codes[tokens_cursor : tokens_cursor + chunk_tokens],
+            new_packed[tokens_cursor : tokens_cursor + chunk_tokens],
+            list(chunk_docs),
+            offset_meta,
+        )
+        num_chunks += 1
+        docs_cursor += len(chunk_docs)
+        tokens_cursor += chunk_tokens
+
+    # Rebuild IVF over the full corpus (vectorized dedup).
+    if not meta.get("compress_only", False):
+        all_codes, all_doclens = [], []
+        for i in range(num_chunks):
+            c, _, d = _load_chunk(index_path, i)
+            all_codes.append(np.asarray(c, dtype=np.int32))
+            all_doclens.extend(d)
+        codes_flat = np.concatenate(all_codes)
+        ivf, ivf_lengths = ivf_mod.build_ivf(
+            codes_flat, np.asarray(all_doclens, np.int64), centroids.shape[0]
+        )
+        np.save(os.path.join(index_path, "ivf.npy"), ivf)
+        np.save(os.path.join(index_path, "ivf_lengths.npy"), ivf_lengths)
+
+    n_new_docs = len(new_doclens)
+    n_new_tokens = int(new_codes.shape[0])
+    total_docs = int(meta["num_documents"]) + n_new_docs
+    total_tokens = int(meta["num_embeddings"]) + n_new_tokens
+    meta.update(
+        {
+            "num_chunks": num_chunks,
+            "num_documents": total_docs,
+            "num_embeddings": total_tokens,
+            "avg_doclen": total_tokens / max(total_docs, 1),
+            "num_partitions": int(centroids.shape[0]),
+        }
+    )
+    storage.save_metadata(index_path, meta)

@@ -1,0 +1,156 @@
+"""Device-resident index layout — the TPU replacement for StridedTensor.
+
+The reference stores jagged per-document data in a ``StridedTensor``
+(reference: rust/search/tensor.rs:154-355) whose lookup picks an as_strided
+view per batch. XLA wants static shapes, so this engine uses a different,
+TPU-first realization of the same statistics:
+
+* token data lives flat and contiguous (``codes``[T], ``residuals``[T, PD]),
+* each document is addressed by ``doc_offsets[pid] + iota(doc_cap)`` with a
+  ``iota < doc_lengths[pid]`` validity mask — one static-shape gather, no
+  per-batch re-striding,
+* IVF cells are addressed the same way (``ivf_offsets``/``ivf_lengths`` with
+  a static ``cell_cap``).
+
+All arrays carry ``doc_cap``/``cell_cap`` rows of tail padding so the
+offset+iota windows never read out of bounds, and one sentinel document
+(pid == n_docs, length 0) absorbs invalid candidate slots.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["DeviceIndex", "IndexSpec", "to_device", "round_up"]
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DeviceIndex(NamedTuple):
+    """All device-resident arrays of one loaded index (a JAX pytree)."""
+
+    centroids: jax.Array  # [Kp, D] float32, rows >= K are zero
+    bucket_weights: jax.Array  # [2^nbits] float32
+    codes: jax.Array  # [Tp] int32, flat token-major
+    residuals: jax.Array  # [Tp, PD] uint8, flat token-major
+    doc_offsets: jax.Array  # [Np] int32 (token offset of each doc)
+    doc_lengths: jax.Array  # [Np] int32 (0 beyond n_docs)
+    ivf: jax.Array  # [Ip] int32 (pids, grouped by cell)
+    ivf_offsets: jax.Array  # [Kp + 8] int32
+    ivf_lengths: jax.Array  # [Kp + 8] int32 (0 beyond K)
+
+
+@dataclass(frozen=True)
+class IndexSpec:
+    """Static (hashable) shape/config info that accompanies a DeviceIndex."""
+
+    dim: int
+    nbits: int
+    n_docs: int
+    n_partitions: int  # real K (centroids rows < Kp are real)
+    doc_cap: int  # static per-document token window
+    cell_cap: int  # static per-IVF-cell window
+    has_ivf: bool
+
+    @property
+    def sentinel_pid(self) -> int:
+        return self.n_docs
+
+    @property
+    def sentinel_cell(self) -> int:
+        # Points at the zero-length tail of ivf_offsets/ivf_lengths.
+        return -1  # resolved against Kp at trace time via clamping mask
+
+
+def to_device(
+    *,
+    centroids: np.ndarray,
+    bucket_weights: np.ndarray,
+    codes: np.ndarray,
+    residuals: np.ndarray,
+    doc_lengths: np.ndarray,
+    ivf: np.ndarray | None,
+    ivf_lengths: np.ndarray | None,
+    nbits: int,
+    device: jax.Device | None = None,
+) -> tuple[DeviceIndex, IndexSpec]:
+    """Pad host arrays into the static device layout and transfer them."""
+    k, dim = centroids.shape
+    n_docs = int(len(doc_lengths))
+    n_tokens = int(codes.shape[0])
+    pd = residuals.shape[1] if residuals.ndim == 2 else (dim * nbits) // 8
+
+    doc_cap = round_up(max(int(doc_lengths.max()) if n_docs else 1, 1), 16)
+    kp = round_up(max(k, 1), 128)
+
+    # Token-major flats, padded by one doc window so offset+iota never OOBs.
+    tp = n_tokens + doc_cap
+    codes_p = np.zeros((tp,), dtype=np.int32)
+    codes_p[:n_tokens] = codes.astype(np.int32, copy=False)
+    residuals_p = np.zeros((tp, pd), dtype=np.uint8)
+    residuals_p[:n_tokens] = residuals
+
+    # Documents (+1 sentinel with length 0, offset at the padded tail).
+    np_docs = round_up(n_docs + 1, 8)
+    offsets = np.zeros((np_docs,), dtype=np.int32)
+    lengths = np.zeros((np_docs,), dtype=np.int32)
+    if n_docs:
+        lengths[:n_docs] = doc_lengths.astype(np.int32, copy=False)
+        offsets[:n_docs] = np.concatenate(
+            [[0], np.cumsum(doc_lengths[:-1], dtype=np.int64)]
+        ).astype(np.int32)
+    offsets[n_docs:] = n_tokens  # sentinel and padding docs point at zeros
+
+    cent_p = np.zeros((kp, dim), dtype=np.float32)
+    cent_p[:k] = centroids.astype(np.float32, copy=False)
+
+    if ivf is not None and ivf_lengths is not None:
+        n_ivf = int(ivf.shape[0])
+        cell_cap = round_up(max(int(ivf_lengths.max()) if k else 1, 1), 8)
+        ip = n_ivf + cell_cap
+        ivf_p = np.full((ip,), n_docs, dtype=np.int32)  # pad -> sentinel pid
+        ivf_p[:n_ivf] = ivf.astype(np.int32, copy=False)
+        ivf_off = np.zeros((kp + 8,), dtype=np.int32)
+        ivf_len = np.zeros((kp + 8,), dtype=np.int32)
+        ivf_len[:k] = ivf_lengths.astype(np.int32, copy=False)
+        ivf_off[:k] = np.concatenate(
+            [[0], np.cumsum(ivf_lengths[:-1], dtype=np.int64)]
+        ).astype(np.int32)
+        ivf_off[k:] = n_ivf
+        has_ivf = True
+    else:
+        cell_cap = 8
+        ivf_p = np.full((cell_cap,), n_docs, dtype=np.int32)
+        ivf_off = np.zeros((kp + 8,), dtype=np.int32)
+        ivf_len = np.zeros((kp + 8,), dtype=np.int32)
+        has_ivf = False
+
+    put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+    dev = DeviceIndex(
+        centroids=put(cent_p),
+        bucket_weights=put(np.asarray(bucket_weights, dtype=np.float32)),
+        codes=put(codes_p),
+        residuals=put(residuals_p),
+        doc_offsets=put(offsets),
+        doc_lengths=put(lengths),
+        ivf=put(ivf_p),
+        ivf_offsets=put(ivf_off),
+        ivf_lengths=put(ivf_len),
+    )
+    spec = IndexSpec(
+        dim=dim,
+        nbits=nbits,
+        n_docs=n_docs,
+        n_partitions=k,
+        doc_cap=doc_cap,
+        cell_cap=cell_cap,
+        has_ivf=has_ivf,
+    )
+    return dev, spec

@@ -1,0 +1,206 @@
+"""Residual quantization codec — TPU-native.
+
+Re-designs the reference's ResidualCodec and LUT-driven decompression
+(reference: rust/utils/residual_codec.rs:15-152, rust/search/search.rs:53-107,
+rust/index/create.rs:307-364, 404-497) for the TPU VPU:
+
+* The reference packs bit-expanded bucket ids with a matmul "packbits" and
+  unpacks through two 256-entry gather tables (byte_reversed_bits_map,
+  bucket_weight_indices_lookup). Gathers of that shape are slow on TPU; we
+  instead pack ``vpb = 8 // nbits`` bucket ids per byte with shifts and
+  unpack with shift+mask, which vectorizes directly on the VPU.
+* The on-disk byte layout therefore differs from the reference (it is our
+  own format, versioned in metadata.json): for a packed byte ``b`` holding
+  dims ``j*vpb .. j*vpb+vpb-1``, value ``i`` lives at bits
+  ``[i*nbits, (i+1)*nbits)`` (little-endian within the byte).
+
+Quantization semantics match the reference exactly:
+
+* ``codes[t] = argmax_k centroids[k] . emb[t]`` (cosine/IP coarse assignment,
+  create.rs:148-170).
+* ``residual = emb - centroids[code]``; each dim is bucketized against
+  ``bucket_cutoffs`` (quantiles i/2^nbits of held-out residual values,
+  create.rs:346-352) with torch.bucketize(right=False) semantics, i.e.
+  ``bucket = sum(cutoffs < value)``.
+* Decompression adds the per-bucket weight (quantile (i+0.5)/2^nbits,
+  create.rs:354-364) to the centroid and L2-normalizes (search.rs:99-107).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "CodecParams",
+    "train_codec",
+    "assign_codes",
+    "quantize_residuals",
+    "pack_nibbles",
+    "unpack_nibbles",
+    "compress",
+    "decompress",
+    "packed_dim",
+]
+
+
+def packed_dim(dim: int, nbits: int) -> int:
+    """Bytes per token for the packed residual of a ``dim``-d vector."""
+    if 8 % nbits != 0:
+        msg = f"nbits must divide 8, got {nbits}"
+        raise ValueError(msg)
+    if (dim * nbits) % 8 != 0:
+        msg = f"dim * nbits must be a multiple of 8, got dim={dim}, nbits={nbits}"
+        raise ValueError(msg)
+    return dim * nbits // 8
+
+
+@dataclass(frozen=True)
+class CodecParams:
+    """Trained quantization parameters (host-side container).
+
+    Mirrors the artifacts the reference persists from codec training
+    (create.rs:307-397): bucket cutoffs/weights, average |residual| per dim
+    and the 0.75-quantile residual-norm cluster threshold used by
+    ``update()`` outlier detection.
+    """
+
+    bucket_cutoffs: np.ndarray  # [2^nbits - 1] float32
+    bucket_weights: np.ndarray  # [2^nbits] float32
+    avg_residual: np.ndarray  # [dim] float32
+    cluster_threshold: float
+    nbits: int
+
+
+def train_codec(heldout_residuals: np.ndarray, nbits: int) -> CodecParams:
+    """Train bucket cutoffs/weights from held-out residuals.
+
+    Args:
+        heldout_residuals: [T, dim] float residuals (emb - nearest centroid).
+        nbits: bits per dimension (1, 2, 4 or 8).
+
+    Quantile placement matches create.rs:341-364: cutoffs at i/2^nbits for
+    i in 1..2^nbits-1, weights at (i+0.5)/2^nbits for i in 0..2^nbits-1.
+    """
+    n_options = 1 << nbits
+    flat = np.asarray(heldout_residuals, dtype=np.float32).reshape(-1)
+    cut_q = np.arange(1, n_options) / n_options
+    w_q = (np.arange(n_options) + 0.5) / n_options
+    bucket_cutoffs = np.quantile(flat, cut_q).astype(np.float32)
+    bucket_weights = np.quantile(flat, w_q).astype(np.float32)
+    norms = np.linalg.norm(
+        np.asarray(heldout_residuals, dtype=np.float32), axis=-1
+    )
+    cluster_threshold = float(np.quantile(norms, 0.75)) if norms.size else 0.0
+    avg_residual = np.abs(heldout_residuals).mean(axis=0).astype(np.float32)
+    return CodecParams(
+        bucket_cutoffs=bucket_cutoffs,
+        bucket_weights=bucket_weights,
+        avg_residual=avg_residual,
+        cluster_threshold=cluster_threshold,
+        nbits=nbits,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def assign_codes(
+    embeddings: jax.Array, centroids: jax.Array, block: int = 2048
+) -> jax.Array:
+    """Nearest-centroid (max inner product) assignment.
+
+    [T, D] x [K, D] -> [T] int32. Processed in ``block``-row chunks so the
+    [block, K] score tile stays bounded (create.rs:148-170 uses the same
+    chunking for the same reason). The matmul runs on the MXU with f32
+    accumulation.
+    """
+    t = embeddings.shape[0]
+    pad = (-t) % block
+    emb = jnp.pad(embeddings, ((0, pad), (0, 0)))
+    blocks = emb.reshape(-1, block, emb.shape[-1])
+
+    def one_block(x: jax.Array) -> jax.Array:
+        scores = jnp.dot(
+            x, centroids.T, preferred_element_type=jnp.float32
+        )
+        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    codes = jax.lax.map(one_block, blocks).reshape(-1)
+    return codes[:t]
+
+
+def quantize_residuals(residuals: jax.Array, bucket_cutoffs: jax.Array) -> jax.Array:
+    """Bucketize residual values: bucket = #cutoffs strictly below value.
+
+    Matches torch.bucketize(right=False) as used at create.rs:414. With at
+    most 255 cutoffs this is a handful of vectorized compares — no gather.
+    """
+    # [T, D, C] compare then sum; C <= 2^nbits - 1 is tiny and unrolled.
+    return jnp.sum(
+        residuals[..., None] > bucket_cutoffs, axis=-1
+    ).astype(jnp.uint8)
+
+
+def pack_nibbles(bucket_ids: jax.Array, nbits: int) -> jax.Array:
+    """Pack [T, D] bucket ids (< 2^nbits) into [T, D*nbits/8] uint8."""
+    vpb = 8 // nbits
+    t, d = bucket_ids.shape
+    vals = bucket_ids.reshape(t, d // vpb, vpb).astype(jnp.uint8)
+    shifts = (jnp.arange(vpb, dtype=jnp.uint8) * nbits)[None, None, :]
+    return jnp.sum(
+        vals << shifts, axis=-1, dtype=jnp.uint8
+    )
+
+
+def unpack_nibbles(packed: jax.Array, nbits: int, dim: int) -> jax.Array:
+    """Unpack [..., D*nbits/8] uint8 into [..., D] int32 bucket ids."""
+    vpb = 8 // nbits
+    mask = jnp.uint8((1 << nbits) - 1)
+    shifts = (jnp.arange(vpb, dtype=jnp.uint8) * nbits)
+    # [..., PD, vpb]
+    vals = (packed[..., None] >> shifts[None, :]) & mask
+    return vals.reshape(*packed.shape[:-1], dim).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "block"))
+def compress(
+    embeddings: jax.Array,
+    centroids: jax.Array,
+    bucket_cutoffs: jax.Array,
+    nbits: int,
+    block: int = 2048,
+) -> tuple[jax.Array, jax.Array]:
+    """Full compression: embeddings -> (codes [T] int32, packed [T, PD] uint8)."""
+    codes = assign_codes(embeddings, centroids, block=block)
+    residuals = embeddings - centroids[codes]
+    bucket_ids = quantize_residuals(residuals, bucket_cutoffs)
+    packed = pack_nibbles(bucket_ids, nbits)
+    return codes, packed
+
+
+def decompress(
+    codes: jax.Array,
+    packed: jax.Array,
+    centroids: jax.Array,
+    bucket_weights: jax.Array,
+    nbits: int,
+    *,
+    normalize: bool = True,
+) -> jax.Array:
+    """Reconstruct embeddings: centroid[code] + weight[bucket], L2-normalized.
+
+    Shapes are polymorphic in the leading axes: codes [...,], packed
+    [..., PD] -> [..., D]. Matches search.rs:53-107 semantics (including the
+    1e-12 norm clamp) without any lookup tables.
+    """
+    dim = centroids.shape[-1]
+    bucket_ids = unpack_nibbles(packed, nbits, dim)
+    res = bucket_weights[bucket_ids]
+    emb = centroids[codes] + res
+    if normalize:
+        norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        emb = emb / jnp.maximum(norm, 1e-12)
+    return emb

@@ -1,0 +1,129 @@
+"""Chunked Lloyd's k-means in pure JAX — TPU-native.
+
+Re-owns the reference's k-means trainer (reference:
+python/fast_plaid/search/kmeans.py:61-265 — a torch/Triton chunked Lloyd's
+from the ``fastkmeans`` dependency) as a single jitted JAX function:
+
+* distances via the ||x||^2 + ||c||^2 - 2 x.c expansion so the inner loop is
+  one MXU matmul per (data-chunk, centroid) pair (kmeans.py:171-176),
+* ``max_points_per_centroid`` subsampling before training (kmeans.py:116-123),
+* empty-cluster re-init to random data points (kmeans.py:201-209),
+* seeded and deterministic (kmeans.py:238-240).
+
+Centroid means are accumulated with scatter-add (sorted-scatter on TPU)
+instead of the reference's index_add loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["train_kmeans", "num_partitions_heuristic", "sample_size_heuristic"]
+
+
+def num_partitions_heuristic(estimated_total_tokens: float) -> int:
+    """K = 2^floor(log2(16 * sqrt(total_tokens))) (fast_plaid.py:146-154)."""
+    return int(2 ** np.floor(np.log2(16 * np.sqrt(max(estimated_total_tokens, 1)))))
+
+
+def sample_size_heuristic(num_documents: int) -> int:
+    """Documents sampled for k-means: min(1 + 16*sqrt(120*N), N) (fast_plaid.py:109-115)."""
+    return min(1 + int(16 * np.sqrt(120 * num_documents)), num_documents)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "niters", "chunk"))
+def _lloyd(
+    data: jax.Array,
+    init: jax.Array,
+    key: jax.Array,
+    k: int,
+    niters: int,
+    chunk: int,
+) -> jax.Array:
+    """Fixed-iteration Lloyd's over [T, D] data with k centroids."""
+    t, d = data.shape
+    pad = (-t) % chunk
+    data_p = jnp.pad(data, ((0, pad), (0, 0)))
+    valid = (
+        jnp.arange(t + pad) < t
+    )
+    blocks = data_p.reshape(-1, chunk, d)
+    valid_blocks = valid.reshape(-1, chunk)
+
+    x2 = jnp.sum(blocks * blocks, axis=-1)  # [nb, chunk]
+
+    def assign(centroids: jax.Array) -> jax.Array:
+        c2 = jnp.sum(centroids * centroids, axis=-1)  # [k]
+
+        def one(args):
+            x, xsq = args
+            # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c ; argmin over c
+            xc = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
+            dist = xsq[:, None] + c2[None, :] - 2.0 * xc
+            return jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+        return jax.lax.map(one, (blocks, x2)).reshape(-1)  # [t+pad]
+
+    def step(carry, it):
+        centroids, key = carry
+        codes = assign(centroids)
+        codes = jnp.where(valid, codes, k)  # padding rows -> overflow bucket
+        sums = jnp.zeros((k + 1, d), jnp.float32).at[codes].add(data_p)
+        counts = jnp.zeros((k + 1,), jnp.float32).at[codes].add(1.0)
+        sums, counts = sums[:k], counts[:k]
+        new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+        # Empty clusters: re-seed from random data points.
+        key, sub = jax.random.split(key)
+        rand_idx = jax.random.randint(sub, (k,), 0, t)
+        new_centroids = jnp.where(
+            (counts > 0)[:, None], new_centroids, data[rand_idx]
+        )
+        return (new_centroids, key), None
+
+    (centroids, _), _ = jax.lax.scan(
+        step, (init, key), jnp.arange(niters)
+    )
+    return centroids
+
+
+def train_kmeans(
+    data: np.ndarray,
+    k: int,
+    niters: int = 4,
+    seed: int = 42,
+    max_points_per_centroid: int = 256,
+    chunk: int = 16384,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Train k-means centroids on [T, D] float data; returns [k, D] float32.
+
+    Host-facing wrapper: subsamples to k * max_points_per_centroid points,
+    seeds the init from a random permutation of the data, runs the jitted
+    Lloyd's loop and (optionally) L2-normalizes the result — mirroring
+    compute_kmeans (fast_plaid.py:71-185) end to end.
+    """
+    data = np.asarray(data, dtype=np.float32)
+    t = data.shape[0]
+    k = int(min(k, t))
+    rng = np.random.default_rng(seed)
+
+    cap = k * max_points_per_centroid
+    if t > cap:
+        sel = rng.choice(t, size=cap, replace=False)
+        data = data[sel]
+        t = cap
+
+    init_idx = rng.permutation(t)[:k]
+    init = jnp.asarray(data[init_idx])
+    key = jax.random.PRNGKey(seed)
+    chunk = int(min(chunk, max(256, t)))
+    centroids = _lloyd(jnp.asarray(data), init, key, k, int(niters), chunk)
+    centroids = np.asarray(centroids, dtype=np.float32)
+    if normalize:
+        norms = np.linalg.norm(centroids, axis=-1, keepdims=True)
+        centroids = centroids / np.maximum(norms, 1e-12)
+    return centroids

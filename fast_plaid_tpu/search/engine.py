@@ -1,0 +1,284 @@
+"""The PLAID search cascade as one jitted, query-batched XLA program.
+
+TPU re-design of the reference's per-query Rust loop (reference:
+rust/search/search.rs:219-288 serial driver, 471-696 single-query cascade).
+Structural differences, by design:
+
+* **Batched queries.** The whole cascade runs over a [B, Q, D] query tile in
+  one XLA program; the reference loops queries serially on the host.
+* **Static shapes.** Candidate sets, IVF cells and jagged documents become
+  fixed-capacity buffers + validity masks (sort-based dedup instead of
+  ``unique``, sentinel ids instead of dynamic sizes), so XLA compiles one
+  program per (index shape, search params) pair.
+* **No LUTs / scatter-padding.** Decompression is shift/mask vector code
+  (ops/codec.py) and jagged lookups are offset+iota gathers (index/layout.py).
+
+Cascade stages (1:1 with search.rs:471-696):
+  1. query-centroid scores           (search.rs:491)
+  2. IVF probe, subset-restricted    (search.rs:494-532)
+  3. candidate generation + dedup    (search.rs:536-547)
+  4. approximate (code-only) MaxSim  (search.rs:554-599)
+  5. prune to n_full_scores, then /4 (search.rs:605-619)
+  6. decompress + exact MaxSim       (search.rs:640-657)
+  7. final top-k                     (search.rs:659-692)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec
+from fast_plaid_tpu.ops import codec
+from fast_plaid_tpu.ops.maxsim import maxsim_reduce
+
+__all__ = ["search_core", "reconstruct_core"]
+
+NEG = jnp.float32(-jnp.inf)
+
+
+def _chunk_count(total: int, chunk: int) -> int:
+    return -(-total // chunk)
+
+
+def _pad_to(x: jax.Array, size: int, axis: int, value) -> jax.Array:
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _doc_token_window(
+    dev: DeviceIndex, pids: jax.Array, doc_cap: int
+) -> tuple[jax.Array, jax.Array]:
+    """Offset+iota token window: pids [...] -> (token idx [..., doc_cap], mask)."""
+    offs = dev.doc_offsets[pids]
+    lens = dev.doc_lengths[pids]
+    iota = jnp.arange(doc_cap, dtype=jnp.int32)
+    idx = offs[..., None] + iota
+    valid = iota < lens[..., None]
+    return idx, valid
+
+
+def _allowed_cells_mask(
+    dev: DeviceIndex, subset: jax.Array, ispec: IndexSpec, kp: int, chunk: int
+) -> jax.Array:
+    """[B, S] subset pids -> [B, kp] bool mask of cells their tokens occupy.
+
+    Mirrors the reference's subset probe restriction (search.rs:494-517):
+    with a subset, only centroids present in the subset documents' codes are
+    eligible for probing.
+    """
+    b, s = subset.shape
+    doc_cap = ispec.doc_cap
+    n_chunks = _chunk_count(s, chunk)
+    subset_p = _pad_to(subset, n_chunks * chunk, 1, ispec.sentinel_pid)
+    chunks = subset_p.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+    def body(mask: jax.Array, pids: jax.Array) -> tuple[jax.Array, None]:
+        idx, valid = _doc_token_window(dev, pids, doc_cap)
+        tok_codes = dev.codes[idx]  # [B, chunk, doc_cap]
+        tok_codes = jnp.where(valid, tok_codes, kp)  # kp -> dropped by scatter
+
+        def scatter_b(m: jax.Array, c: jax.Array) -> jax.Array:
+            return m.at[c.reshape(-1)].set(True, mode="drop")
+
+        return jax.vmap(scatter_b)(mask, tok_codes), None
+
+    init = jnp.zeros((b, kp), dtype=bool)
+    mask, _ = jax.lax.scan(body, init, chunks)
+    return mask
+
+
+def _dedup_sorted(x: jax.Array, sentinel) -> jax.Array:
+    """Replace repeated values in a row-sorted array with ``sentinel``."""
+    dup = jnp.concatenate(
+        [jnp.zeros((*x.shape[:-1], 1), bool), x[..., 1:] == x[..., :-1]], axis=-1
+    )
+    return jnp.where(dup, sentinel, x)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ispec",
+        "top_k",
+        "n_ivf_probe",
+        "n_full_scores",
+        "want_tokens",
+        "mem_budget",
+    ),
+)
+def search_core(
+    dev: DeviceIndex,
+    queries: jax.Array,  # [B, Q, D] float32 (zero-padded query tokens)
+    subset: jax.Array | None,  # [B, S] int32 sorted asc, sentinel_pid padding
+    *,
+    ispec: IndexSpec,
+    top_k: int,
+    n_ivf_probe: int,
+    n_full_scores: int,
+    want_tokens: bool,
+    mem_budget: int = 256 * 1024 * 1024,
+):
+    """Batched PLAID cascade.
+
+    Returns (pids [B, top_k] int32 with -1 padding, scores [B, top_k] f32
+    with -inf padding) and, when ``want_tokens``, additionally
+    (token_scores [B, top_k, doc_cap, Q] f32, doc_lens [B, top_k] int32).
+    """
+    b, q, d = queries.shape
+    kp = dev.centroids.shape[0]
+    k_real = ispec.n_partitions
+    doc_cap, cell_cap = ispec.doc_cap, ispec.cell_cap
+    sent_pid = ispec.sentinel_pid
+
+    # ---- 1. query-centroid scores: one MXU matmul for the whole tile.
+    scores_qc = jnp.dot(
+        queries.reshape(b * q, d),
+        dev.centroids.T,
+        preferred_element_type=jnp.float32,
+    ).reshape(b, q, kp)
+
+    # ---- 2. IVF probe.
+    cell_valid = jnp.arange(kp) < k_real
+    probe_scores = jnp.where(cell_valid[None, None, :], scores_qc, NEG)
+    if subset is not None:
+        allowed = _allowed_cells_mask(
+            dev,
+            subset,
+            ispec,
+            kp,
+            chunk=max(8, min(subset.shape[1], mem_budget // (4 * b * doc_cap * 4))),
+        )
+        probe_scores = jnp.where(allowed[:, None, :], probe_scores, NEG)
+    probe = min(n_ivf_probe, kp)
+    top_cell_scores, cells = jax.lax.top_k(probe_scores, probe)  # [B, Q, probe]
+    cells = jnp.where(top_cell_scores > NEG, cells, kp)  # kp = empty sentinel cell
+    cells = cells.reshape(b, q * probe)
+    cells = _dedup_sorted(jnp.sort(cells, axis=-1), kp)
+
+    # ---- 3. candidates: gather cell windows, dedup pids.
+    c_cells = cells.shape[1]
+    offs = dev.ivf_offsets[cells]
+    lens = dev.ivf_lengths[cells]
+    iota_c = jnp.arange(cell_cap, dtype=jnp.int32)
+    pid = dev.ivf[offs[..., None] + iota_c]  # [B, C, cell_cap]
+    pid = jnp.where(iota_c[None, None, :] < lens[..., None], pid, sent_pid)
+    cand = pid.reshape(b, c_cells * cell_cap)
+    cand = _dedup_sorted(jnp.sort(cand, axis=-1), sent_pid)
+
+    if subset is not None:
+        s_cap = subset.shape[1]
+        pos = jax.vmap(jnp.searchsorted)(subset, cand)
+        pos = jnp.clip(pos, 0, s_cap - 1)
+        member = jnp.take_along_axis(subset, pos, axis=1) == cand
+        cand = jnp.where(member, cand, sent_pid)
+
+    # ---- 4. approximate scoring over fixed-size candidate chunks.
+    scores_kq = scores_qc.transpose(0, 2, 1)  # [B, kp, Q]
+    n_cand = cand.shape[1]
+    a_chunk = max(8, min(n_cand, mem_budget // max(1, b * doc_cap * q * 4)))
+    n_chunks = _chunk_count(n_cand, a_chunk)
+    cand_p = _pad_to(cand, n_chunks * a_chunk, 1, sent_pid)
+    cand_chunks = cand_p.reshape(b, n_chunks, a_chunk).transpose(1, 0, 2)
+
+    def approx_chunk(pids: jax.Array) -> jax.Array:  # [B, A] -> [B, A]
+        idx, valid = _doc_token_window(dev, pids, doc_cap)
+        tok_codes = dev.codes[idx]  # [B, A, doc_cap]
+
+        def per_b(s_kq: jax.Array, c: jax.Array) -> jax.Array:
+            return s_kq[c]  # [A, doc_cap, Q]
+
+        g = jax.vmap(per_b)(scores_kq, tok_codes)
+        sc = maxsim_reduce(g, valid)
+        return jnp.where(pids == sent_pid, NEG, sc)
+
+    approx = jax.lax.map(approx_chunk, cand_chunks)  # [nch, B, A]
+    approx = approx.transpose(1, 0, 2).reshape(b, -1)
+
+    # ---- 5. prune: top n_full_scores, then quarter for decompression.
+    k1 = min(n_full_scores, approx.shape[1])
+    s1, i1 = jax.lax.top_k(approx, k1)
+    p1 = jnp.take_along_axis(cand_p, i1, axis=1)
+    r = min(max(n_full_scores // 4, 1), k1)
+    p2 = p1[:, :r]  # top_k output is already sorted desc
+
+    # ---- 6. exact rerank: decompress + MaxSim, chunked over candidates.
+    per_row = b * doc_cap * max(d * 4, q * 4)
+    r_chunk = max(4, min(r, mem_budget // max(1, per_row)))
+    rn_chunks = _chunk_count(r, r_chunk)
+    p2_p = _pad_to(p2, rn_chunks * r_chunk, 1, sent_pid)
+    p2_chunks = p2_p.reshape(b, rn_chunks, r_chunk).transpose(1, 0, 2)
+
+    def exact_chunk(pids: jax.Array) -> jax.Array:
+        idx, valid = _doc_token_window(dev, pids, doc_cap)
+        emb = codec.decompress(
+            dev.codes[idx],
+            dev.residuals[idx],
+            dev.centroids,
+            dev.bucket_weights,
+            ispec.nbits,
+        )  # [B, Rc, doc_cap, D] f32
+        ts = jnp.einsum(
+            "brtd,bqd->brtq", emb, queries, preferred_element_type=jnp.float32
+        )
+        sc = maxsim_reduce(ts, valid)
+        return jnp.where(pids == sent_pid, NEG, sc)
+
+    exact = jax.lax.map(exact_chunk, p2_chunks)  # [rnch, B, Rc]
+    exact = exact.transpose(1, 0, 2).reshape(b, -1)[:, :r]
+
+    # ---- 7. final top-k.
+    kk = min(top_k, r)
+    fs, fi = jax.lax.top_k(exact, kk)
+    fp = jnp.take_along_axis(p2, fi, axis=1)
+    fp = jnp.where(jnp.isneginf(fs), -1, fp)
+    fp = _pad_to(fp, top_k, 1, -1)
+    fs = _pad_to(fs, top_k, 1, NEG)
+
+    if not want_tokens:
+        return fp, fs
+
+    # Token-score matrices for the winners only (recomputed — far cheaper
+    # than materializing [B, R, doc_cap, Q] for every rerank candidate).
+    safe = jnp.where(fp < 0, sent_pid, fp)
+    idx, valid = _doc_token_window(dev, safe, doc_cap)
+    emb = codec.decompress(
+        dev.codes[idx],
+        dev.residuals[idx],
+        dev.centroids,
+        dev.bucket_weights,
+        ispec.nbits,
+    )
+    tok = jnp.einsum(
+        "bktd,bqd->bktq", emb, queries, preferred_element_type=jnp.float32
+    )  # [B, top_k, doc_cap, Q]
+    tok = jnp.where(valid[..., None], tok, 0.0)
+    doc_lens = jnp.where(fp < 0, 0, dev.doc_lengths[safe])
+    return fp, fs, tok, doc_lens
+
+
+@functools.partial(jax.jit, static_argnames=("ispec",))
+def reconstruct_core(
+    dev: DeviceIndex, pids: jax.Array, *, ispec: IndexSpec
+) -> tuple[jax.Array, jax.Array]:
+    """Decompress documents: [S] pids -> ([S, doc_cap, D] f32, [S] lengths).
+
+    Replaces reconstruct_embeddings (reference: rust/utils/embeddings.rs:21-64,
+    rayon per-doc loop) with one batched gather+decompress.
+    """
+    idx, valid = _doc_token_window(dev, pids, ispec.doc_cap)
+    emb = codec.decompress(
+        dev.codes[idx],
+        dev.residuals[idx],
+        dev.centroids,
+        dev.bucket_weights,
+        ispec.nbits,
+    )
+    emb = jnp.where(valid[..., None], emb, 0.0)
+    return emb, dev.doc_lengths[pids]

@@ -1,0 +1,178 @@
+"""Host-side search driver: query prep, tiling, result trimming.
+
+Replaces the reference's per-device search loop (reference:
+python/fast_plaid/search/fast_plaid.py:188-322 + rust search_many,
+rust/search/search.rs:219-363). Queries are padded to a static token cap,
+processed in fixed-size device tiles through the jitted cascade
+(search/engine.py), and trimmed back to Python result lists on the host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from fast_plaid_tpu.index.layout import round_up
+from fast_plaid_tpu.search.engine import search_core
+from fast_plaid_tpu.search.load import LoadedIndex
+
+__all__ = ["search_on_device", "normalize_queries", "normalize_subset"]
+
+
+def normalize_queries(queries_embeddings) -> list[np.ndarray]:
+    """Accept [B, Q, D] array, [Q, D] array, or list of [Q_i, D] arrays."""
+    if isinstance(queries_embeddings, (list, tuple)):
+        out = []
+        for q in queries_embeddings:
+            arr = np.asarray(q, dtype=np.float32)
+            if arr.ndim == 3:
+                arr = arr[0]
+            out.append(arr)
+        return out
+    arr = np.asarray(queries_embeddings, dtype=np.float32)
+    if arr.ndim == 2:
+        arr = arr[None]
+    return [arr[i] for i in range(arr.shape[0])]
+
+
+def normalize_subset(subset, num_queries: int) -> list[list[int]] | None:
+    """int -> same list for all queries; flat list -> replicated; list of lists kept.
+
+    Matches _prepare_search (fast_plaid.py:784-794).
+    """
+    if subset is None:
+        return None
+    if isinstance(subset, int):
+        subset = [subset]
+    if isinstance(subset, list) and len(subset) == 0:
+        return None
+    if isinstance(subset, list) and isinstance(subset[0], (int, np.integer)):
+        subset = [list(subset)] * num_queries
+    if len(subset) != num_queries:
+        msg = "Subset length must match number of queries."
+        raise ValueError(msg)
+    return [list(map(int, s)) for s in subset]
+
+
+def _pad_queries(
+    queries: list[np.ndarray], dim: int
+) -> tuple[np.ndarray, list[int]]:
+    lens = [int(q.shape[0]) for q in queries]
+    q_cap = round_up(max(lens + [1]), 8)
+    batch = np.zeros((len(queries), q_cap, dim), dtype=np.float32)
+    for i, q in enumerate(queries):
+        if q.shape[0]:
+            batch[i, : q.shape[0]] = q
+    return batch, lens
+
+
+def _pad_subsets(
+    subsets: list[list[int]], n_docs: int, tile: slice
+) -> np.ndarray:
+    rows = subsets[tile]
+    s_cap = round_up(max([len(s) for s in rows] + [1]), 8)
+    out = np.full((len(rows), s_cap), n_docs, dtype=np.int32)  # sentinel pad
+    for i, s in enumerate(rows):
+        vals = np.asarray(sorted(v for v in s if 0 <= v < n_docs), dtype=np.int32)
+        out[i, : len(vals)] = vals
+    return out
+
+
+def _tile_size(ispec, q_cap: int, mem_budget: int, n_queries: int) -> int:
+    """Queries per device tile, sized so the [B, Q, Kp] score tensor fits."""
+    kp = round_up(max(ispec.n_partitions, 1), 128)
+    by_scores = max(1, mem_budget // max(1, q_cap * kp * 4 * 2))
+    return int(max(1, min(64, by_scores, n_queries)))
+
+
+def search_on_device(
+    loaded: LoadedIndex,
+    queries: list[np.ndarray],
+    *,
+    top_k: int,
+    n_full_scores: int,
+    n_ivf_probe: int,
+    subsets: list[list[int]] | None,
+    want_tokens: bool,
+    mem_budget: int = 256 * 1024 * 1024,
+    show_progress: bool = False,
+) -> list:
+    """Run the cascade for a list of queries on one device.
+
+    Returns, per query, a list of (pid, score) tuples — or
+    (pid, score, token_matrix [q_tokens, doc_tokens]) when ``want_tokens``.
+    """
+    ispec = loaded.ispec
+    if not ispec.has_ivf:
+        msg = (
+            "This index was created with compress_only=True and has no IVF; "
+            "search is unavailable (use get_embeddings)."
+        )
+        raise ValueError(msg)
+    if not queries:
+        return []
+    batch, q_lens = _pad_queries(queries, ispec.dim)
+    nq, q_cap, _ = batch.shape
+    b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
+
+    results: list = []
+    iterator = range(0, nq, b_tile)
+    if show_progress and nq > b_tile:
+        try:
+            from tqdm import tqdm  # type: ignore[import-not-found]
+
+            iterator = tqdm(iterator, desc="Searching")
+        except ImportError:
+            pass
+    for start in iterator:
+        end = min(start + b_tile, nq)
+        tile = batch[start:end]
+        if end - start < b_tile:  # pad tile to the static size
+            tile = np.concatenate(
+                [tile, np.zeros((b_tile - (end - start), q_cap, ispec.dim), np.float32)]
+            )
+        tile_dev = jax.device_put(tile, loaded.device)
+        if subsets is not None:
+            sub = _pad_subsets(subsets, ispec.n_docs, slice(start, end))
+            if sub.shape[0] < b_tile:
+                pad = np.full(
+                    (b_tile - sub.shape[0], sub.shape[1]), ispec.n_docs, np.int32
+                )
+                sub = np.concatenate([sub, pad])
+            sub_dev = jax.device_put(sub, loaded.device)
+        else:
+            sub_dev = None
+
+        out = search_core(
+            loaded.dev,
+            tile_dev,
+            sub_dev,
+            ispec=ispec,
+            top_k=top_k,
+            n_ivf_probe=n_ivf_probe,
+            n_full_scores=n_full_scores,
+            want_tokens=want_tokens,
+        )
+        if want_tokens:
+            pids, scores, tok, doc_lens = (np.asarray(x) for x in out)
+        else:
+            pids, scores = (np.asarray(x) for x in out)
+            tok = doc_lens = None
+
+        for bi in range(end - start):
+            qlen = q_lens[start + bi]
+            row = []
+            for ki in range(pids.shape[1]):
+                pid = int(pids[bi, ki])
+                if pid < 0:
+                    continue
+                score = float(scores[bi, ki])
+                if want_tokens:
+                    dlen = int(doc_lens[bi, ki])
+                    mat = np.asarray(tok[bi, ki, :dlen, :qlen]).T.copy()
+                    row.append((pid, score, mat))
+                else:
+                    row.append((pid, score))
+            results.append(row)
+    return results

@@ -1,0 +1,85 @@
+"""Benchmark: batched-query QPS on a synthetic mid-size corpus, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference FastPlaid reports 146.62 QPS on fiqa (57,638 docs,
+~doc_len 160 with answerai-colbert-small, top_k~10-20) on an H100
+(BASELINE.md; reference README.md:317-318). This bench builds a synthetic
+corpus of similar scale/shape (25k docs x ~160 tokens x d=128, nbits=4,
+n_ivf_probe=8, n_full_scores=4096, top_k=10) and measures sustained QPS of
+the batched cascade on the default device. vs_baseline = our QPS / 146.62.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_QPS = 146.62  # reference FastPlaid, fiqa on H100 (README.md:317-318)
+
+
+def main() -> None:
+    import jax
+
+    from fast_plaid_tpu import testing
+    from fast_plaid_tpu.search.engine import search_core
+
+    rng = np.random.default_rng(0)
+    n_docs, doc_len, dim = 25_000, 160, 128
+    n_queries, q_len = 256, 32
+
+    docs = testing.random_documents(rng, n_docs, doc_len, dim, variable=True)
+    queries = testing.random_queries(rng, n_queries, q_len, dim)
+
+    t0 = time.perf_counter()
+    dev, ispec = testing.build_memory_index(docs, nbits=4, seed=0)
+    jax.block_until_ready(dev.codes)
+    build_s = time.perf_counter() - t0
+
+    def run(batch: np.ndarray):
+        return search_core(
+            dev,
+            batch,
+            None,
+            ispec=ispec,
+            top_k=10,
+            n_ivf_probe=8,
+            n_full_scores=4096,
+            want_tokens=False,
+        )
+
+    tile = 64
+    tiles = [queries[i : i + tile] for i in range(0, n_queries, tile)]
+    # Warmup / compile.
+    jax.block_until_ready(run(tiles[0]))
+
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        outs = [run(t) for t in tiles]
+        jax.block_until_ready(outs)
+    elapsed = time.perf_counter() - t0
+    qps = (reps * n_queries) / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "plaid_search_qps_25k_docs_d128_single_chip",
+                "value": round(qps, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / BASELINE_QPS, 3),
+                "extra": {
+                    "index_build_s": round(build_s, 2),
+                    "device": str(jax.devices()[0]),
+                    "n_docs": n_docs,
+                    "batch": tile,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

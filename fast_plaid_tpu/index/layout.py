@@ -80,18 +80,33 @@ def to_device(
     ivf_lengths: np.ndarray | None,
     nbits: int,
     device: jax.Device | None = None,
+    doc_cap: int | None = None,
+    cell_cap: int | None = None,
+    pad_docs_to: int | None = None,
+    pad_tokens_to: int | None = None,
+    pad_ivf_to: int | None = None,
 ) -> tuple[DeviceIndex, IndexSpec]:
-    """Pad host arrays into the static device layout and transfer them."""
+    """Pad host arrays into the static device layout and transfer them.
+
+    The ``pad_*``/``*_cap`` overrides force common static shapes across
+    shards of a mesh-sharded index (parallel/sharded.py); padding documents
+    are addressable but zero-length, so they can never become candidates.
+    """
     k, dim = centroids.shape
-    n_docs = int(len(doc_lengths))
+    n_real_docs = int(len(doc_lengths))
+    n_docs = max(pad_docs_to or n_real_docs, n_real_docs)
     n_tokens = int(codes.shape[0])
+    pad_tokens = max(pad_tokens_to or n_tokens, n_tokens)
     pd = residuals.shape[1] if residuals.ndim == 2 else (dim * nbits) // 8
 
-    doc_cap = round_up(max(int(doc_lengths.max()) if n_docs else 1, 1), 16)
+    if doc_cap is None:
+        doc_cap = round_up(
+            max(int(doc_lengths.max()) if n_real_docs else 1, 1), 16
+        )
     kp = round_up(max(k, 1), 128)
 
     # Token-major flats, padded by one doc window so offset+iota never OOBs.
-    tp = n_tokens + doc_cap
+    tp = pad_tokens + doc_cap
     codes_p = np.zeros((tp,), dtype=np.int32)
     codes_p[:n_tokens] = codes.astype(np.int32, copy=False)
     residuals_p = np.zeros((tp, pd), dtype=np.uint8)
@@ -101,20 +116,22 @@ def to_device(
     np_docs = round_up(n_docs + 1, 8)
     offsets = np.zeros((np_docs,), dtype=np.int32)
     lengths = np.zeros((np_docs,), dtype=np.int32)
-    if n_docs:
-        lengths[:n_docs] = doc_lengths.astype(np.int32, copy=False)
-        offsets[:n_docs] = np.concatenate(
+    if n_real_docs:
+        lengths[:n_real_docs] = doc_lengths.astype(np.int32, copy=False)
+        offsets[:n_real_docs] = np.concatenate(
             [[0], np.cumsum(doc_lengths[:-1], dtype=np.int64)]
         ).astype(np.int32)
-    offsets[n_docs:] = n_tokens  # sentinel and padding docs point at zeros
+    offsets[n_real_docs:] = n_tokens  # sentinel and padding docs point at zeros
 
     cent_p = np.zeros((kp, dim), dtype=np.float32)
     cent_p[:k] = centroids.astype(np.float32, copy=False)
 
     if ivf is not None and ivf_lengths is not None:
         n_ivf = int(ivf.shape[0])
-        cell_cap = round_up(max(int(ivf_lengths.max()) if k else 1, 1), 8)
-        ip = n_ivf + cell_cap
+        pad_ivf = max(pad_ivf_to or n_ivf, n_ivf)
+        if cell_cap is None:
+            cell_cap = round_up(max(int(ivf_lengths.max()) if k else 1, 1), 8)
+        ip = pad_ivf + cell_cap
         ivf_p = np.full((ip,), n_docs, dtype=np.int32)  # pad -> sentinel pid
         ivf_p[:n_ivf] = ivf.astype(np.int32, copy=False)
         ivf_off = np.zeros((kp + 8,), dtype=np.int32)
@@ -126,7 +143,7 @@ def to_device(
         ivf_off[k:] = n_ivf
         has_ivf = True
     else:
-        cell_cap = 8
+        cell_cap = cell_cap or 8
         ivf_p = np.full((cell_cap,), n_docs, dtype=np.int32)
         ivf_off = np.zeros((kp + 8,), dtype=np.int32)
         ivf_len = np.zeros((kp + 8,), dtype=np.int32)

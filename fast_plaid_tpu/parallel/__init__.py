@@ -1,0 +1,29 @@
+"""Multi-chip scaling over a jax.sharding.Mesh.
+
+New capability relative to the reference, whose multi-GPU story is
+host-side query splitting over fully replicated indexes
+(reference: python/fast_plaid/search/fast_plaid.py:894-928, SURVEY.md §5.8).
+Here both modes are SPMD programs over a device mesh:
+
+* document sharding (parallel/sharded.py): IVF/codes/residuals partitioned
+  by document across chips, each chip searches its shard, and per-chip
+  top-k merge rides an ICI all-gather (k * B floats+ids, tiny);
+* query sharding (parallel/sharded.py: query_sharded_search): index
+  replicated, the query batch partitioned by the compiler via shardings.
+"""
+
+from fast_plaid_tpu.parallel.mesh import make_mesh
+from fast_plaid_tpu.parallel.sharded import (
+    ShardedIndex,
+    build_sharded_index,
+    query_sharded_search,
+    sharded_search,
+)
+
+__all__ = [
+    "make_mesh",
+    "ShardedIndex",
+    "build_sharded_index",
+    "sharded_search",
+    "query_sharded_search",
+]

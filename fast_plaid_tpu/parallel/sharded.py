@@ -1,0 +1,273 @@
+"""Mesh-sharded search: document sharding with ICI top-k merge.
+
+The design SURVEY.md §5.8 calls for (new capability vs the reference):
+documents — codes, residuals, doc lengths and per-shard IVF — are
+partitioned across the mesh; centroids and codec tables are replicated.
+Each chip runs the full cascade (search/engine.py:search_impl) over its
+local shard, maps local pids to global ids with its shard base, and the
+final merge is one `all_gather` of per-chip [B, top_k] scores+ids over ICI
+followed by a local top-k — a few KB per query, never the candidate sets.
+
+Also provides query sharding (index replicated, batch split by the
+compiler), the SPMD upgrade of the reference's host-side multi-GPU
+dispatch (fast_plaid.py:894-928).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from fast_plaid_tpu.index import ivf as ivf_mod
+from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec, round_up, to_device
+from fast_plaid_tpu.search.engine import search_impl
+
+__all__ = [
+    "ShardedIndex",
+    "build_sharded_index",
+    "sharded_search",
+    "query_sharded_search",
+]
+
+
+@dataclass
+class ShardedIndex:
+    """Document-sharded index: every DeviceIndex leaf has a leading shard axis."""
+
+    dev: DeviceIndex  # leaves [n_shards, ...] sharded over mesh axis
+    ispec: IndexSpec  # identical static spec for every shard
+    doc_base: jax.Array  # [n_shards] int32 global id base per shard
+    mesh: Mesh
+    n_docs_total: int
+    ivf_lengths_host: np.ndarray | None = None  # concat of shard IVF lengths
+
+
+def build_sharded_index(
+    *,
+    centroids: np.ndarray,
+    bucket_weights: np.ndarray,
+    codes: np.ndarray,
+    residuals: np.ndarray,
+    doc_lengths: np.ndarray,
+    nbits: int,
+    mesh: Mesh,
+) -> ShardedIndex:
+    """Split documents contiguously across the mesh and build per-shard IVFs.
+
+    All shards are padded to identical static shapes (max over shards) so a
+    single SPMD program serves every chip.
+    """
+    axis = mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+    n_docs = int(len(doc_lengths))
+    per = -(-n_docs // n_shards)
+    doc_lengths = np.asarray(doc_lengths, np.int64)
+    token_starts = np.concatenate([[0], np.cumsum(doc_lengths)])
+
+    shards = []
+    bases = []
+    k = centroids.shape[0]
+    for si in range(n_shards):
+        d0, d1 = si * per, min((si + 1) * per, n_docs)
+        t0, t1 = int(token_starts[d0]), int(token_starts[d1])
+        lens = doc_lengths[d0:d1]
+        ivf, ivf_lengths = ivf_mod.build_ivf(codes[t0:t1], lens, k)
+        shards.append(
+            {
+                "codes": codes[t0:t1],
+                "residuals": residuals[t0:t1],
+                "doc_lengths": lens,
+                "ivf": ivf,
+                "ivf_lengths": ivf_lengths,
+            }
+        )
+        bases.append(d0)
+
+    doc_cap = round_up(max(int(doc_lengths.max()) if n_docs else 1, 1), 16)
+    cell_cap = round_up(
+        max(
+            max((int(s["ivf_lengths"].max()) if k else 1) for s in shards),
+            1,
+        ),
+        8,
+    )
+    pad_docs = per
+    pad_tokens = max(int(s["codes"].shape[0]) for s in shards)
+    pad_ivf = max(int(s["ivf"].shape[0]) for s in shards)
+
+    devs, ispec = [], None
+    for s in shards:
+        dev, ispec = to_device(
+            centroids=centroids,
+            bucket_weights=bucket_weights,
+            codes=s["codes"],
+            residuals=s["residuals"],
+            doc_lengths=s["doc_lengths"],
+            ivf=s["ivf"],
+            ivf_lengths=s["ivf_lengths"],
+            nbits=nbits,
+            device=None,
+            doc_cap=doc_cap,
+            cell_cap=cell_cap,
+            pad_docs_to=pad_docs,
+            pad_tokens_to=pad_tokens,
+            pad_ivf_to=pad_ivf,
+        )
+        devs.append(dev)
+
+    stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *devs)
+    sharding = NamedSharding(mesh, P(axis))
+    dev = jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
+    doc_base = jax.device_put(np.asarray(bases, np.int32), sharding)
+    return ShardedIndex(
+        dev=dev,
+        ispec=ispec,
+        doc_base=doc_base,
+        mesh=mesh,
+        n_docs_total=n_docs,
+        ivf_lengths_host=np.max(
+            np.stack([s["ivf_lengths"] for s in shards]), axis=0
+        ),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ispec",
+        "top_k",
+        "n_ivf_probe",
+        "n_full_scores",
+        "mem_budget",
+        "mesh",
+        "cand_cap",
+    ),
+)
+def _sharded_search_jit(
+    dev: DeviceIndex,
+    doc_base: jax.Array,
+    queries: jax.Array,
+    *,
+    ispec: IndexSpec,
+    top_k: int,
+    n_ivf_probe: int,
+    n_full_scores: int,
+    mem_budget: int,
+    mesh: Mesh,
+    cand_cap: int | None,
+):
+    axis = mesh.axis_names[0]
+
+    def local(dev_blk: DeviceIndex, base_blk: jax.Array, q: jax.Array):
+        dev_local = jax.tree.map(lambda x: x[0], dev_blk)
+        pids, scores = search_impl(
+            dev_local,
+            q,
+            None,
+            ispec=ispec,
+            top_k=top_k,
+            n_ivf_probe=n_ivf_probe,
+            n_full_scores=n_full_scores,
+            want_tokens=False,
+            mem_budget=mem_budget,
+            cand_cap=cand_cap,
+        )
+        gpids = jnp.where(pids >= 0, pids + base_blk[0], -1)
+        # ICI merge: gather the tiny [B, top_k] per-chip results, re-top-k.
+        all_p = jax.lax.all_gather(gpids, axis)  # [n, B, k]
+        all_s = jax.lax.all_gather(scores, axis)
+        b = q.shape[0]
+        all_p = all_p.transpose(1, 0, 2).reshape(b, -1)
+        all_s = all_s.transpose(1, 0, 2).reshape(b, -1)
+        ms, mi = jax.lax.top_k(all_s, top_k)
+        mp = jnp.take_along_axis(all_p, mi, axis=1)
+        return mp, ms
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(axis), dev),
+            P(axis),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(dev, doc_base, queries)
+
+
+def sharded_search(
+    sharded: ShardedIndex,
+    queries: np.ndarray,
+    *,
+    top_k: int = 10,
+    n_ivf_probe: int = 8,
+    n_full_scores: int = 4096,
+    mem_budget: int = 256 * 1024 * 1024,
+):
+    """Doc-sharded search: [B, Q, D] queries -> ([B, top_k] ids, scores)."""
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    cand_cap = None
+    if sharded.ivf_lengths_host is not None:
+        from fast_plaid_tpu.search.engine import candidate_capacity
+
+        n_cells = min(q.shape[1] * n_ivf_probe, sharded.ispec.n_partitions)
+        cand_cap = candidate_capacity(
+            sharded.ivf_lengths_host, n_cells, n_full_scores
+        )
+    return _sharded_search_jit(
+        sharded.dev,
+        sharded.doc_base,
+        q,
+        ispec=sharded.ispec,
+        top_k=top_k,
+        n_ivf_probe=n_ivf_probe,
+        n_full_scores=n_full_scores,
+        mem_budget=mem_budget,
+        mesh=sharded.mesh,
+        cand_cap=cand_cap,
+    )
+
+
+def query_sharded_search(
+    dev: DeviceIndex,
+    ispec: IndexSpec,
+    queries: np.ndarray,
+    mesh: Mesh,
+    *,
+    top_k: int = 10,
+    n_ivf_probe: int = 8,
+    n_full_scores: int = 4096,
+    mem_budget: int = 256 * 1024 * 1024,
+):
+    """Replicated-index data parallelism: the query batch is mesh-sharded.
+
+    [B, Q, D] with B divisible by the mesh size; XLA partitions the whole
+    cascade along the batch dimension — the SPMD form of the reference's
+    thread-per-GPU dispatch.
+    """
+    axis = mesh.axis_names[0]
+    repl = NamedSharding(mesh, P())
+    dev_repl = jax.tree.map(lambda x: jax.device_put(x, repl), dev)
+    q = jax.device_put(
+        jnp.asarray(queries, jnp.float32), NamedSharding(mesh, P(axis))
+    )
+    fn = jax.jit(
+        partial(
+            search_impl,
+            ispec=ispec,
+            top_k=top_k,
+            n_ivf_probe=n_ivf_probe,
+            n_full_scores=n_full_scores,
+            want_tokens=False,
+            mem_budget=mem_budget,
+        )
+    )
+    return fn(dev_repl, q, None)

@@ -34,7 +34,7 @@ from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec
 from fast_plaid_tpu.ops import codec
 from fast_plaid_tpu.ops.maxsim import maxsim_reduce
 
-__all__ = ["search_core", "reconstruct_core"]
+__all__ = ["search_core", "search_impl", "reconstruct_core"]
 
 NEG = jnp.float32(-jnp.inf)
 
@@ -102,18 +102,7 @@ def _dedup_sorted(x: jax.Array, sentinel) -> jax.Array:
     return jnp.where(dup, sentinel, x)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "ispec",
-        "top_k",
-        "n_ivf_probe",
-        "n_full_scores",
-        "want_tokens",
-        "mem_budget",
-    ),
-)
-def search_core(
+def search_impl(
     dev: DeviceIndex,
     queries: jax.Array,  # [B, Q, D] float32 (zero-padded query tokens)
     subset: jax.Array | None,  # [B, S] int32 sorted asc, sentinel_pid padding
@@ -124,8 +113,9 @@ def search_core(
     n_full_scores: int,
     want_tokens: bool,
     mem_budget: int = 256 * 1024 * 1024,
+    cand_cap: int | None = None,
 ):
-    """Batched PLAID cascade.
+    """Batched PLAID cascade (traceable body — also used inside shard_map).
 
     Returns (pids [B, top_k] int32 with -1 padding, scores [B, top_k] f32
     with -inf padding) and, when ``want_tokens``, additionally
@@ -162,14 +152,31 @@ def search_core(
     cells = cells.reshape(b, q * probe)
     cells = _dedup_sorted(jnp.sort(cells, axis=-1), kp)
 
-    # ---- 3. candidates: gather cell windows, dedup pids.
+    # ---- 3. candidates: exactly-compacted segmented gather, then dedup.
+    # Instead of a [C, cell_cap] window per probed cell (max-cell padding
+    # waste), lay the probed cells' lists end to end in a static
+    # [B, cand_cap] buffer: slot j belongs to the cell whose cumulative
+    # length range covers j. cand_cap defaults to the worst case
+    # (sum of the C largest cells) and can be capped by the caller.
     c_cells = cells.shape[1]
     offs = dev.ivf_offsets[cells]
-    lens = dev.ivf_lengths[cells]
-    iota_c = jnp.arange(cell_cap, dtype=jnp.int32)
-    pid = dev.ivf[offs[..., None] + iota_c]  # [B, C, cell_cap]
-    pid = jnp.where(iota_c[None, None, :] < lens[..., None], pid, sent_pid)
-    cand = pid.reshape(b, c_cells * cell_cap)
+    lens = dev.ivf_lengths[cells]  # sentinel cells -> 0
+    seg_end = jnp.cumsum(lens, axis=-1)  # [B, C] inclusive ends
+    total = seg_end[:, -1]
+    if cand_cap is None:
+        cand_cap = c_cells * cell_cap
+    j = jnp.arange(cand_cap, dtype=jnp.int32)
+    cell_slot = jax.vmap(
+        lambda ends: jnp.searchsorted(ends, j, side="right")
+    )(seg_end)
+    cell_slot = jnp.minimum(cell_slot, c_cells - 1)  # [B, cand_cap]
+    seg_start = seg_end - lens
+    within = j[None, :] - jnp.take_along_axis(seg_start, cell_slot, axis=1)
+    src = jnp.take_along_axis(offs, cell_slot, axis=1) + within
+    src = jnp.clip(src, 0, dev.ivf.shape[0] - 1)
+    pid = dev.ivf[src]
+    valid = j[None, :] < total[:, None]
+    cand = jnp.where(valid, pid, sent_pid)
     cand = _dedup_sorted(jnp.sort(cand, axis=-1), sent_pid)
 
     if subset is not None:
@@ -188,15 +195,25 @@ def search_core(
     cand_chunks = cand_p.reshape(b, n_chunks, a_chunk).transpose(1, 0, 2)
 
     def approx_chunk(pids: jax.Array) -> jax.Array:  # [B, A] -> [B, A]
-        idx, valid = _doc_token_window(dev, pids, doc_cap)
-        tok_codes = dev.codes[idx]  # [B, A, doc_cap]
+        def do(pids: jax.Array) -> jax.Array:
+            idx, valid = _doc_token_window(dev, pids, doc_cap)
+            tok_codes = dev.codes[idx]  # [B, A, doc_cap]
 
-        def per_b(s_kq: jax.Array, c: jax.Array) -> jax.Array:
-            return s_kq[c]  # [A, doc_cap, Q]
+            def per_b(s_kq: jax.Array, c: jax.Array) -> jax.Array:
+                return s_kq[c]  # [A, doc_cap, Q]
 
-        g = jax.vmap(per_b)(scores_kq, tok_codes)
-        sc = maxsim_reduce(g, valid)
-        return jnp.where(pids == sent_pid, NEG, sc)
+            g = jax.vmap(per_b)(scores_kq, tok_codes)
+            sc = maxsim_reduce(g, valid)
+            return jnp.where(pids == sent_pid, NEG, sc)
+
+        # Valid candidates are compacted to the front by the dedup sort, so
+        # tail chunks are often all-sentinel: skip their gathers entirely.
+        return jax.lax.cond(
+            jnp.any(pids != sent_pid),
+            do,
+            lambda p: jnp.full(p.shape, NEG, jnp.float32),
+            pids,
+        )
 
     approx = jax.lax.map(approx_chunk, cand_chunks)  # [nch, B, A]
     approx = approx.transpose(1, 0, 2).reshape(b, -1)
@@ -261,6 +278,40 @@ def search_core(
     tok = jnp.where(valid[..., None], tok, 0.0)
     doc_lens = jnp.where(fp < 0, 0, dev.doc_lengths[safe])
     return fp, fs, tok, doc_lens
+
+
+search_core = jax.jit(
+    search_impl,
+    static_argnames=(
+        "ispec",
+        "top_k",
+        "n_ivf_probe",
+        "n_full_scores",
+        "want_tokens",
+        "mem_budget",
+        "cand_cap",
+    ),
+)
+
+
+def candidate_capacity(
+    ivf_lengths: "np.ndarray", n_cells: int, n_full_scores: int
+) -> int:
+    """Static candidate-buffer size for the compacted segmented gather.
+
+    Worst case is the sum of the ``n_cells`` largest IVF lists; typical need
+    is ~2x the expected sum. Overflow beyond the returned cap truncates
+    whole tail cells (rare with the 2x margin).
+    """
+    import numpy as np
+
+    lens = np.sort(np.asarray(ivf_lengths, np.int64))[::-1]
+    if lens.size == 0:
+        return 128
+    worst = int(lens[: min(n_cells, lens.size)].sum())
+    typical = int(2.0 * n_cells * float(lens.mean()))
+    cap = min(worst, max(typical, 4 * n_full_scores, 1024))
+    return max(128, ((cap + 127) // 128) * 128)
 
 
 @functools.partial(jax.jit, static_argnames=("ispec",))

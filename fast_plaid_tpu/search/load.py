@@ -22,10 +22,18 @@ __all__ = ["reload_index", "LoadedIndex"]
 class LoadedIndex:
     """One device's resident index: arrays + static spec + the jax device."""
 
-    def __init__(self, dev: DeviceIndex, ispec: IndexSpec, device: jax.Device):
+    def __init__(
+        self,
+        dev: DeviceIndex,
+        ispec: IndexSpec,
+        device: jax.Device,
+        ivf_lengths_host=None,
+    ):
         self.dev = dev
         self.ispec = ispec
         self.device = device
+        # Host-side IVF length stats feed candidate-capacity sizing.
+        self.ivf_lengths_host = ivf_lengths_host
 
 
 def _construct(data, device: jax.Device) -> LoadedIndex:
@@ -40,7 +48,7 @@ def _construct(data, device: jax.Device) -> LoadedIndex:
         nbits=data.nbits,
         device=device,
     )
-    return LoadedIndex(dev, ispec, device)
+    return LoadedIndex(dev, ispec, device, ivf_lengths_host=data.ivf_lengths)
 
 
 def reload_index(

@@ -14,7 +14,7 @@ import numpy as np
 import jax
 
 from fast_plaid_tpu.index.layout import round_up
-from fast_plaid_tpu.search.engine import search_core
+from fast_plaid_tpu.search.engine import candidate_capacity, search_core
 from fast_plaid_tpu.search.load import LoadedIndex
 
 __all__ = ["search_on_device", "normalize_queries", "normalize_subset"]
@@ -115,6 +115,12 @@ def search_on_device(
     batch, q_lens = _pad_queries(queries, ispec.dim)
     nq, q_cap, _ = batch.shape
     b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
+    cand_cap = None
+    if loaded.ivf_lengths_host is not None:
+        n_cells = min(q_cap * n_ivf_probe, ispec.n_partitions)
+        cand_cap = candidate_capacity(
+            loaded.ivf_lengths_host, n_cells, n_full_scores
+        )
 
     results: list = []
     iterator = range(0, nq, b_tile)
@@ -153,6 +159,8 @@ def search_on_device(
             n_ivf_probe=n_ivf_probe,
             n_full_scores=n_full_scores,
             want_tokens=want_tokens,
+            mem_budget=mem_budget,
+            cand_cap=cand_cap,
         )
         if want_tokens:
             pids, scores, tok, doc_lens = (np.asarray(x) for x in out)

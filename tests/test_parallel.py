@@ -1,0 +1,130 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Coverage the reference lacks entirely (its multi-GPU path has no CI,
+SURVEY.md §4): doc-sharded search must agree with the single-device
+cascade, and query sharding must reproduce its results.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fast_plaid_tpu import parallel, testing
+from fast_plaid_tpu.search.engine import search_core
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    docs = testing.random_documents(rng, 64, 20, 32, variable=True)
+    queries = testing.random_queries(rng, 8, 6, 32)
+    return docs, queries
+
+
+def _single_device_results(docs, queries, top_k):
+    dev, ispec = testing.build_memory_index(docs, nbits=4, seed=1)
+    pids, scores = search_core(
+        dev,
+        np.asarray(queries),
+        None,
+        ispec=ispec,
+        top_k=top_k,
+        n_ivf_probe=8,
+        n_full_scores=4096,
+        want_tokens=False,
+    )
+    return np.asarray(pids), np.asarray(scores)
+
+
+def test_doc_sharded_matches_single_device(corpus):
+    docs, queries = corpus
+    cpus = jax.devices("cpu")
+    assert len(cpus) >= 8, "tests require 8 virtual CPU devices"
+    mesh = parallel.make_mesh(devices=cpus[:4])
+
+    # Build both from identical artifacts.
+    from fast_plaid_tpu.index.builder import (
+        compress_documents,
+        train_codec_from_documents,
+    )
+    from fast_plaid_tpu.ops.kmeans import train_kmeans
+
+    flat = np.concatenate(docs)
+    centroids = train_kmeans(flat, k=64, niters=4, seed=1)
+    params = train_codec_from_documents(docs, centroids, 4, 1)
+    codes, packed = compress_documents(docs, centroids, params.bucket_cutoffs, 4)
+    doc_lengths = np.asarray([d.shape[0] for d in docs], np.int64)
+
+    sharded = parallel.build_sharded_index(
+        centroids=centroids,
+        bucket_weights=params.bucket_weights,
+        codes=codes,
+        residuals=packed,
+        doc_lengths=doc_lengths,
+        nbits=4,
+        mesh=mesh,
+    )
+    pids, scores = parallel.sharded_search(sharded, queries, top_k=5)
+    pids, scores = np.asarray(pids), np.asarray(scores)
+
+    # Single-device ground truth from the same artifacts.
+    from fast_plaid_tpu.index import ivf as ivf_mod
+    from fast_plaid_tpu.index.layout import to_device
+
+    ivf, ivf_lengths = ivf_mod.build_ivf(codes, doc_lengths, centroids.shape[0])
+    dev, ispec = to_device(
+        centroids=centroids,
+        bucket_weights=params.bucket_weights,
+        codes=codes,
+        residuals=packed,
+        doc_lengths=doc_lengths,
+        ivf=ivf,
+        ivf_lengths=ivf_lengths,
+        nbits=4,
+    )
+    ref_pids, ref_scores = search_core(
+        dev,
+        np.asarray(queries),
+        None,
+        ispec=ispec,
+        top_k=5,
+        n_ivf_probe=8,
+        n_full_scores=4096,
+        want_tokens=False,
+    )
+    ref_pids, ref_scores = np.asarray(ref_pids), np.asarray(ref_scores)
+
+    # Sharded probing is per-shard (n_probe cells on each shard), so its
+    # candidate pool is a superset per shard; scores of common winners must
+    # match exactly, and the top-1 document must agree.
+    for b in range(pids.shape[0]):
+        assert pids[b, 0] == ref_pids[b, 0]
+        np.testing.assert_allclose(scores[b, 0], ref_scores[b, 0], rtol=1e-5)
+        # all returned scores sorted desc
+        valid = scores[b][pids[b] >= 0]
+        assert np.all(np.diff(valid) <= 1e-6)
+
+
+def test_query_sharded_matches_single_device(corpus):
+    docs, queries = corpus
+    cpus = jax.devices("cpu")
+    mesh = parallel.make_mesh(devices=cpus[:4])
+    dev, ispec = testing.build_memory_index(docs, nbits=4, seed=1)
+    pids, scores = parallel.query_sharded_search(
+        dev, ispec, queries, mesh, top_k=5
+    )
+    ref_pids, ref_scores = search_core(
+        dev,
+        np.asarray(queries),
+        None,
+        ispec=ispec,
+        top_k=5,
+        n_ivf_probe=8,
+        n_full_scores=4096,
+        want_tokens=False,
+    )
+    np.testing.assert_array_equal(np.asarray(pids), np.asarray(ref_pids))
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=1e-5
+    )

@@ -86,7 +86,7 @@ def create(index: str, metadata: list[dict[str, Any]]) -> None:
         columns = _collect_columns(metadata)
         col_defs = ", ".join(
             ["_subset_ INTEGER PRIMARY KEY"]
-            + [f"{name} {typ}" for name, typ in columns.items()]
+            + [f'"{name}" {typ}' for name, typ in columns.items()]
         )
         cursor.execute(f"CREATE TABLE metadata ({col_defs})")
         _insert_rows(cursor, list(columns), metadata, start_id=0)
@@ -102,7 +102,7 @@ def _insert_rows(
     metadata: list[dict[str, Any]],
     start_id: int,
 ) -> None:
-    names = ", ".join(["_subset_"] + columns)
+    names = ", ".join(["_subset_"] + [f'"{c}"' for c in columns])
     holes = ", ".join(["?"] * (len(columns) + 1))
     rows = [
         tuple([start_id + i] + [row.get(c) for c in columns])
@@ -134,7 +134,7 @@ def update(index: str, metadata: list[dict[str, Any]]) -> None:
         new_cols = _collect_columns(metadata)
         for name, typ in new_cols.items():
             if name not in existing:
-                cursor.execute(f"ALTER TABLE metadata ADD COLUMN {name} {typ}")
+                cursor.execute(f'ALTER TABLE metadata ADD COLUMN "{name}" {typ}')
                 existing.append(name)
         cursor.execute("SELECT COALESCE(MAX(_subset_) + 1, 0) FROM metadata")
         start_id = int(cursor.fetchone()[0])

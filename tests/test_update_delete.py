@@ -1,0 +1,150 @@
+"""Update / delete lifecycle tests.
+
+Mirrors the reference TestUpdate + TestDelete (/root/reference/tests/
+test.py:200-389): id growth across updates, buffered-doc accounting, id
+re-sequencing after deletes, and the update->delete->update-with-metadata
+phantom-buffer regression (test.py:270-343).
+"""
+
+import numpy as np
+import pytest
+
+from fast_plaid_tpu import search
+from fast_plaid_tpu.index import storage
+from fast_plaid_tpu.testing import random_documents, random_queries
+
+DIM = 32
+
+
+def _docs(seed, n, ln=12):
+    return random_documents(np.random.default_rng(seed), n, ln, DIM)
+
+
+def _queries(seed, n=2, ln=5):
+    return random_queries(np.random.default_rng(seed), n, ln, DIM)
+
+
+class TestUpdate:
+    def test_update_grows_ids(self, test_index_path):
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        eng.create(documents_embeddings=_docs(0, 20))
+        eng.update(documents_embeddings=_docs(1, 10))
+        meta = storage.load_metadata(test_index_path)
+        assert meta["num_documents"] == 30
+        results = eng.search(_queries(2), top_k=30, show_progress=False)
+        all_ids = {p for row in results for p, _ in row}
+        assert max(all_ids) < 30
+
+    def test_update_searchable_immediately(self, test_index_path):
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        docs = _docs(3, 30)
+        eng.create(documents_embeddings=docs)
+        new_docs = _docs(4, 5)
+        eng.update(documents_embeddings=new_docs, start_from_scratch=0)
+        # Searching for a new doc's own tokens must find its (new) id.
+        res = eng.search(new_docs[2][None], top_k=3, show_progress=False)
+        assert res[0][0][0] == 32
+
+    def test_update_creates_when_missing(self, test_index_path):
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        eng.update(documents_embeddings=_docs(5, 15))
+        meta = storage.load_metadata(test_index_path)
+        assert meta["num_documents"] == 15
+
+    def test_small_index_rebuild_path(self, test_index_path):
+        """Updates below start_from_scratch rebuild from raw embeddings.npy."""
+        import os
+
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        eng.create(documents_embeddings=_docs(6, 10), start_from_scratch=1000)
+        assert os.path.exists(os.path.join(test_index_path, "embeddings.npy"))
+        eng.update(documents_embeddings=_docs(7, 10), start_from_scratch=999)
+        meta = storage.load_metadata(test_index_path)
+        assert meta["num_documents"] == 20
+
+    def test_buffer_trip_expands_centroids(self, test_index_path):
+        import os
+
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        eng.create(documents_embeddings=_docs(8, 30), start_from_scratch=0)
+        k0 = storage.load_metadata(test_index_path)["num_partitions"]
+        # Below buffer: docs buffered + appended.
+        eng.update(
+            documents_embeddings=_docs(9, 3),
+            start_from_scratch=0,
+            buffer_size=10,
+        )
+        assert os.path.exists(os.path.join(test_index_path, "buffer.npy"))
+        assert storage.load_metadata(test_index_path)["num_documents"] == 33
+        # Trip the buffer: orthogonal-ish new docs should add centroids.
+        eng.update(
+            documents_embeddings=_docs(10, 12),
+            start_from_scratch=0,
+            buffer_size=10,
+        )
+        assert not os.path.exists(os.path.join(test_index_path, "buffer.npy"))
+        meta = storage.load_metadata(test_index_path)
+        assert meta["num_documents"] == 45
+        assert meta["num_partitions"] >= k0
+
+    def test_update_delete_update_with_metadata(self, test_index_path):
+        """Phantom-buffer regression (reference test.py:270-343)."""
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        eng.create(
+            documents_embeddings=_docs(11, 20),
+            metadata=[{"tag": f"c{i}"} for i in range(20)],
+            start_from_scratch=0,
+        )
+        eng.update(
+            documents_embeddings=_docs(12, 5),
+            metadata=[{"tag": f"u{i}"} for i in range(5)],
+            start_from_scratch=0,
+            buffer_size=100,
+        )
+        assert storage.load_metadata(test_index_path)["num_documents"] == 25
+        eng.delete(subset=[20, 21])
+        meta = storage.load_metadata(test_index_path)
+        assert meta["num_documents"] == 23
+        eng.update(
+            documents_embeddings=_docs(13, 4),
+            metadata=[{"tag": f"v{i}"} for i in range(4)],
+            start_from_scratch=0,
+            buffer_size=100,
+        )
+        meta = storage.load_metadata(test_index_path)
+        assert meta["num_documents"] == 27
+        from fast_plaid_tpu import filtering
+
+        rows = filtering.get(index=test_index_path)
+        assert len(rows) == 27
+
+
+class TestDelete:
+    def test_delete_resequences_ids(self, test_index_path):
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        docs = _docs(20, 25)
+        eng.create(documents_embeddings=docs)
+        eng.delete(subset=[0, 5, 10])
+        meta = storage.load_metadata(test_index_path)
+        assert meta["num_documents"] == 22
+        results = eng.search(_queries(21), top_k=25, show_progress=False)
+        for row in results:
+            for p, _ in row:
+                assert 0 <= p < 22
+
+    def test_delete_shifts_content(self, test_index_path):
+        """After deleting doc 0, old doc 1's content answers as id 0."""
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        docs = _docs(22, 15)
+        eng.create(documents_embeddings=docs)
+        eng.delete(subset=[0])
+        res = eng.search(docs[1][None], top_k=1, show_progress=False)
+        assert res[0][0][0] == 0
+
+    def test_delete_multiple_rounds(self, test_index_path):
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        eng.create(documents_embeddings=_docs(23, 20))
+        eng.delete(subset=[0, 1])
+        eng.delete(subset=[0])
+        meta = storage.load_metadata(test_index_path)
+        assert meta["num_documents"] == 17

@@ -85,6 +85,7 @@ def to_device(
     pad_docs_to: int | None = None,
     pad_tokens_to: int | None = None,
     pad_ivf_to: int | None = None,
+    residuals_on_device: bool = True,
 ) -> tuple[DeviceIndex, IndexSpec]:
     """Pad host arrays into the static device layout and transfer them.
 
@@ -109,8 +110,16 @@ def to_device(
     tp = pad_tokens + doc_cap
     codes_p = np.zeros((tp,), dtype=np.int32)
     codes_p[:n_tokens] = codes.astype(np.int32, copy=False)
-    residuals_p = np.zeros((tp, pd), dtype=np.uint8)
-    residuals_p[:n_tokens] = residuals
+    if residuals_on_device:
+        residuals_p = np.zeros((tp, pd), dtype=np.uint8)
+        residuals_p[:n_tokens] = residuals
+    else:
+        # low_memory: residuals stay in host RAM and are streamed per query
+        # batch for the rerank stage only (the TPU analog of the reference's
+        # CPU-pinned StridedTensors, load.rs:141-173 + tensor.rs:299-304;
+        # here codes stay on device since they are 16x smaller at nbits=4
+        # and feed the bandwidth-hungry approximate stage).
+        residuals_p = None
 
     # Documents (+1 sentinel with length 0, offset at the padded tail).
     np_docs = round_up(n_docs + 1, 8)
@@ -154,7 +163,7 @@ def to_device(
         centroids=put(cent_p),
         bucket_weights=put(np.asarray(bucket_weights, dtype=np.float32)),
         codes=put(codes_p),
-        residuals=put(residuals_p),
+        residuals=put(residuals_p) if residuals_p is not None else None,
         doc_offsets=put(offsets),
         doc_lengths=put(lengths),
         ivf=put(ivf_p),

@@ -26,6 +26,7 @@ Cascade stages (1:1 with search.rs:471-696):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,9 +35,37 @@ from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec
 from fast_plaid_tpu.ops import codec
 from fast_plaid_tpu.ops.maxsim import maxsim_reduce
 
-__all__ = ["search_core", "search_impl", "reconstruct_core"]
+__all__ = [
+    "search_core",
+    "search_impl",
+    "candidates_core",
+    "candidates_impl",
+    "rerank_rows_core",
+    "token_matrices_core",
+    "final_topk_core",
+    "reconstruct_core",
+    "candidate_capacity",
+]
 
 NEG = jnp.float32(-jnp.inf)
+
+# The exact-rerank matmul is the flops bottleneck (B*R*doc_cap*Q*D). bf16
+# inputs with f32 accumulation keep it on the MXU's fast path; scores stay
+# f32. Set FASTPLAID_TPU_F32=1 to force full f32 (e.g. for numerics debts).
+RERANK_DTYPE = (
+    jnp.float32 if os.environ.get("FASTPLAID_TPU_F32") else jnp.bfloat16
+)
+
+
+def _exact_scores(emb, queries, valid):
+    """MaxSim of decompressed doc tokens vs queries, bf16 in / f32 out."""
+    ts = jnp.einsum(
+        "brtd,bqd->brtq",
+        emb.astype(RERANK_DTYPE),
+        queries.astype(RERANK_DTYPE),
+        preferred_element_type=jnp.float32,
+    )
+    return maxsim_reduce(ts, valid), ts
 
 
 def _chunk_count(total: int, chunk: int) -> int:
@@ -102,24 +131,21 @@ def _dedup_sorted(x: jax.Array, sentinel) -> jax.Array:
     return jnp.where(dup, sentinel, x)
 
 
-def search_impl(
+def candidates_impl(
     dev: DeviceIndex,
     queries: jax.Array,  # [B, Q, D] float32 (zero-padded query tokens)
     subset: jax.Array | None,  # [B, S] int32 sorted asc, sentinel_pid padding
     *,
     ispec: IndexSpec,
-    top_k: int,
     n_ivf_probe: int,
     n_full_scores: int,
-    want_tokens: bool,
     mem_budget: int = 256 * 1024 * 1024,
     cand_cap: int | None = None,
-):
-    """Batched PLAID cascade (traceable body — also used inside shard_map).
-
-    Returns (pids [B, top_k] int32 with -1 padding, scores [B, top_k] f32
-    with -inf padding) and, when ``want_tokens``, additionally
-    (token_scores [B, top_k, doc_cap, Q] f32, doc_lens [B, top_k] int32).
+) -> jax.Array:
+    """Cascade stages 1-5: probe, candidate generation, approximate scoring,
+    pruning. Returns the rerank set p2 [B, R] (sentinel_pid padding), sorted
+    by descending approximate score. Does not touch ``dev.residuals`` — the
+    low_memory path keeps those in host RAM and streams only these R rows.
     """
     b, q, d = queries.shape
     kp = dev.centroids.shape[0]
@@ -223,14 +249,122 @@ def search_impl(
     s1, i1 = jax.lax.top_k(approx, k1)
     p1 = jnp.take_along_axis(cand_p, i1, axis=1)
     r = min(max(n_full_scores // 4, 1), k1)
-    p2 = p1[:, :r]  # top_k output is already sorted desc
+    return p1[:, :r]  # top_k output is already sorted desc
 
-    # ---- 6. exact rerank: decompress + MaxSim, chunked over candidates.
+
+def rerank_rows(
+    codes_rows: jax.Array,  # [B, R, doc_cap] int32
+    res_rows: jax.Array,  # [B, R, doc_cap, PD] uint8
+    tok_valid: jax.Array,  # [B, R, doc_cap] bool
+    pids: jax.Array,  # [B, R] int32 (sentinel padding)
+    centroids: jax.Array,
+    bucket_weights: jax.Array,
+    queries: jax.Array,  # [B, Q, D]
+    *,
+    nbits: int,
+    sentinel_pid: int,
+    mem_budget: int = 256 * 1024 * 1024,
+) -> jax.Array:
+    """Stage 6: decompress + exact MaxSim over pre-gathered token rows."""
+    b, r, doc_cap = codes_rows.shape
+    q, d = queries.shape[1], queries.shape[2]
     per_row = b * doc_cap * max(d * 4, q * 4)
     r_chunk = max(4, min(r, mem_budget // max(1, per_row)))
-    rn_chunks = _chunk_count(r, r_chunk)
-    p2_p = _pad_to(p2, rn_chunks * r_chunk, 1, sent_pid)
-    p2_chunks = p2_p.reshape(b, rn_chunks, r_chunk).transpose(1, 0, 2)
+    rn = _chunk_count(r, r_chunk)
+    rp = rn * r_chunk
+
+    def prep(x, fill):
+        x = _pad_to(x, rp, 1, fill)
+        return jnp.moveaxis(
+            x.reshape(b, rn, r_chunk, *x.shape[2:]), 1, 0
+        )  # [rn, B, r_chunk, ...]
+
+    chunks = (
+        prep(codes_rows, 0),
+        prep(res_rows, 0),
+        prep(tok_valid, False),
+        prep(pids, sentinel_pid),
+    )
+
+    def exact_chunk(args) -> jax.Array:
+        c, res, valid, p = args
+        emb = codec.decompress(c, res, centroids, bucket_weights, nbits)
+        sc, _ = _exact_scores(emb, queries, valid)
+        return jnp.where(p == sentinel_pid, NEG, sc)
+
+    exact = jax.lax.map(exact_chunk, chunks)  # [rn, B, r_chunk]
+    return exact.transpose(1, 0, 2).reshape(b, -1)[:, :r]
+
+
+def token_matrices(
+    codes_rows: jax.Array,  # [B, K, doc_cap]
+    res_rows: jax.Array,  # [B, K, doc_cap, PD]
+    tok_valid: jax.Array,  # [B, K, doc_cap]
+    centroids: jax.Array,
+    bucket_weights: jax.Array,
+    queries: jax.Array,
+    *,
+    nbits: int,
+) -> jax.Array:
+    """[B, K, doc_cap, Q] token-score matrices for winner documents."""
+    emb = codec.decompress(codes_rows, res_rows, centroids, bucket_weights, nbits)
+    _, tok = _exact_scores(emb, queries, tok_valid)
+    return jnp.where(tok_valid[..., None], tok, 0.0)
+
+
+def _final_topk(exact, p2, top_k):
+    r = p2.shape[1]
+    kk = min(top_k, r)
+    fs, fi = jax.lax.top_k(exact, kk)
+    fp = jnp.take_along_axis(p2, fi, axis=1)
+    fp = jnp.where(jnp.isneginf(fs), -1, fp)
+    fp = _pad_to(fp, top_k, 1, -1)
+    fs = _pad_to(fs, top_k, 1, NEG)
+    return fp, fs
+
+
+def search_impl(
+    dev: DeviceIndex,
+    queries: jax.Array,
+    subset: jax.Array | None,
+    *,
+    ispec: IndexSpec,
+    top_k: int,
+    n_ivf_probe: int,
+    n_full_scores: int,
+    want_tokens: bool,
+    mem_budget: int = 256 * 1024 * 1024,
+    cand_cap: int | None = None,
+):
+    """Batched PLAID cascade (traceable body — also used inside shard_map).
+
+    Returns (pids [B, top_k] int32 with -1 padding, scores [B, top_k] f32
+    with -inf padding) and, when ``want_tokens``, additionally
+    (token_scores [B, top_k, doc_cap, Q] f32, doc_lens [B, top_k] int32).
+    Requires a fully device-resident index (dev.residuals is not None).
+    """
+    doc_cap = ispec.doc_cap
+    sent_pid = ispec.sentinel_pid
+    p2 = candidates_impl(
+        dev,
+        queries,
+        subset,
+        ispec=ispec,
+        n_ivf_probe=n_ivf_probe,
+        n_full_scores=n_full_scores,
+        mem_budget=mem_budget,
+        cand_cap=cand_cap,
+    )
+
+    # Chunk over the rerank set with gathers INSIDE each chunk so the
+    # [B, R, doc_cap, ...] token tensors never materialize in full.
+    b, q, d = queries.shape
+    r = p2.shape[1]
+    per_row = b * doc_cap * max(d * 4, q * 4)
+    r_chunk = max(4, min(r, mem_budget // max(1, per_row)))
+    rn = _chunk_count(r, r_chunk)
+    p2_p = _pad_to(p2, rn * r_chunk, 1, sent_pid)
+    p2_chunks = p2_p.reshape(b, rn, r_chunk).transpose(1, 0, 2)
 
     def exact_chunk(pids: jax.Array) -> jax.Array:
         idx, valid = _doc_token_window(dev, pids, doc_cap)
@@ -241,22 +375,12 @@ def search_impl(
             dev.bucket_weights,
             ispec.nbits,
         )  # [B, Rc, doc_cap, D] f32
-        ts = jnp.einsum(
-            "brtd,bqd->brtq", emb, queries, preferred_element_type=jnp.float32
-        )
-        sc = maxsim_reduce(ts, valid)
+        sc, _ = _exact_scores(emb, queries, valid)
         return jnp.where(pids == sent_pid, NEG, sc)
 
-    exact = jax.lax.map(exact_chunk, p2_chunks)  # [rnch, B, Rc]
+    exact = jax.lax.map(exact_chunk, p2_chunks)  # [rn, B, Rc]
     exact = exact.transpose(1, 0, 2).reshape(b, -1)[:, :r]
-
-    # ---- 7. final top-k.
-    kk = min(top_k, r)
-    fs, fi = jax.lax.top_k(exact, kk)
-    fp = jnp.take_along_axis(p2, fi, axis=1)
-    fp = jnp.where(jnp.isneginf(fs), -1, fp)
-    fp = _pad_to(fp, top_k, 1, -1)
-    fs = _pad_to(fs, top_k, 1, NEG)
+    fp, fs = _final_topk(exact, p2, top_k)
 
     if not want_tokens:
         return fp, fs
@@ -265,17 +389,15 @@ def search_impl(
     # than materializing [B, R, doc_cap, Q] for every rerank candidate).
     safe = jnp.where(fp < 0, sent_pid, fp)
     idx, valid = _doc_token_window(dev, safe, doc_cap)
-    emb = codec.decompress(
+    tok = token_matrices(
         dev.codes[idx],
         dev.residuals[idx],
+        valid,
         dev.centroids,
         dev.bucket_weights,
-        ispec.nbits,
+        queries,
+        nbits=ispec.nbits,
     )
-    tok = jnp.einsum(
-        "bktd,bqd->bktq", emb, queries, preferred_element_type=jnp.float32
-    )  # [B, top_k, doc_cap, Q]
-    tok = jnp.where(valid[..., None], tok, 0.0)
     doc_lens = jnp.where(fp < 0, 0, dev.doc_lengths[safe])
     return fp, fs, tok, doc_lens
 
@@ -292,6 +414,26 @@ search_core = jax.jit(
         "cand_cap",
     ),
 )
+
+candidates_core = jax.jit(
+    candidates_impl,
+    static_argnames=(
+        "ispec",
+        "n_ivf_probe",
+        "n_full_scores",
+        "mem_budget",
+        "cand_cap",
+    ),
+)
+
+rerank_rows_core = jax.jit(
+    rerank_rows,
+    static_argnames=("nbits", "sentinel_pid", "mem_budget"),
+)
+
+token_matrices_core = jax.jit(token_matrices, static_argnames=("nbits",))
+
+final_topk_core = jax.jit(_final_topk, static_argnames=("top_k",))
 
 
 def candidate_capacity(
@@ -312,6 +454,21 @@ def candidate_capacity(
     typical = int(2.0 * n_cells * float(lens.mean()))
     cap = min(worst, max(typical, 4 * n_full_scores, 1024))
     return max(128, ((cap + 127) // 128) * 128)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits",))
+def reconstruct_rows_core(
+    codes_rows: jax.Array,
+    res_rows: jax.Array,
+    tok_valid: jax.Array,
+    centroids: jax.Array,
+    bucket_weights: jax.Array,
+    *,
+    nbits: int,
+) -> jax.Array:
+    """Decompress pre-gathered token rows (low_memory reconstruction)."""
+    emb = codec.decompress(codes_rows, res_rows, centroids, bucket_weights, nbits)
+    return jnp.where(tok_valid[..., None], emb, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("ispec",))

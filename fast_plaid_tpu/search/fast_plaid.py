@@ -170,7 +170,9 @@ class FastPlaid:
             current = self._current_mtime()
             if current == self._last_known_mtime and self.indices:
                 return False
-            new_indices = reload_index(self.index, self.devices)
+            new_indices = reload_index(
+                self.index, self.devices, low_memory=self.low_memory
+            )
             with self._index_swap_lock:
                 self.indices = new_indices
                 self._last_known_mtime = current
@@ -179,7 +181,9 @@ class FastPlaid:
             self.lock.release()
 
     def _reload_and_swap(self) -> None:
-        new_indices = reload_index(self.index, self.devices)
+        new_indices = reload_index(
+            self.index, self.devices, low_memory=self.low_memory
+        )
         with self._index_swap_lock:
             self.indices = new_indices
             self._update_mtime()
@@ -509,11 +513,36 @@ class FastPlaid:
             chunk = pids[start : start + block]
             padded = np.full((block,), loaded.ispec.sentinel_pid, np.int32)
             padded[: len(chunk)] = np.clip(chunk, 0, loaded.ispec.sentinel_pid)
-            emb, lens = reconstruct_core(
-                loaded.dev, jax.device_put(padded, loaded.device), ispec=loaded.ispec
-            )
-            emb = np.asarray(emb)
-            lens = np.asarray(lens)
+            if loaded.low_memory:
+                from fast_plaid_tpu.search.engine import reconstruct_rows_core
+                from fast_plaid_tpu.search.searcher import host_gather_rows
+
+                codes_rows, res_rows, tok_valid = host_gather_rows(
+                    loaded, padded[None, :]
+                )
+                emb = reconstruct_rows_core(
+                    jax.device_put(codes_rows, loaded.device),
+                    jax.device_put(res_rows, loaded.device),
+                    jax.device_put(tok_valid, loaded.device),
+                    loaded.dev.centroids,
+                    loaded.dev.bucket_weights,
+                    nbits=loaded.ispec.nbits,
+                )
+                emb = np.asarray(emb)[0]
+                n_docs = len(loaded.host_doc_lengths)
+                lens = np.where(
+                    padded >= n_docs,
+                    0,
+                    loaded.host_doc_lengths[np.clip(padded, 0, n_docs - 1)],
+                )
+            else:
+                emb, lens = reconstruct_core(
+                    loaded.dev,
+                    jax.device_put(padded, loaded.device),
+                    ispec=loaded.ispec,
+                )
+                emb = np.asarray(emb)
+                lens = np.asarray(lens)
             for i in range(len(chunk)):
                 out.append(np.asarray(emb[i, : int(lens[i])], dtype=np.float32))
         return out

@@ -5,11 +5,18 @@ python/fast_plaid/search/load.py:220-427, rust/search/load.rs:124-186): read
 the on-disk artifacts once on the host, then materialize the static padded
 device layout (index/layout.py) on every requested device — in parallel
 across devices, as the reference does with its ThreadPoolExecutor.
+
+low_memory mode keeps the residuals (the dominant payload: 16x the codes at
+nbits=4, d=128) in host RAM; the searcher streams only the R rerank rows
+per query batch to the device (the reference instead pins whole
+StridedTensors to CPU and streams every lookup, load.rs:141-173).
 """
 
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
 
 import jax
 
@@ -28,15 +35,25 @@ class LoadedIndex:
         ispec: IndexSpec,
         device: jax.Device,
         ivf_lengths_host=None,
+        low_memory: bool = False,
+        host_codes: np.ndarray | None = None,
+        host_residuals: np.ndarray | None = None,
+        host_doc_offsets: np.ndarray | None = None,
+        host_doc_lengths: np.ndarray | None = None,
     ):
         self.dev = dev
         self.ispec = ispec
         self.device = device
         # Host-side IVF length stats feed candidate-capacity sizing.
         self.ivf_lengths_host = ivf_lengths_host
+        self.low_memory = low_memory
+        self.host_codes = host_codes
+        self.host_residuals = host_residuals
+        self.host_doc_offsets = host_doc_offsets
+        self.host_doc_lengths = host_doc_lengths
 
 
-def _construct(data, device: jax.Device) -> LoadedIndex:
+def _construct(data, device: jax.Device, low_memory: bool) -> LoadedIndex:
     dev, ispec = to_device(
         centroids=data.centroids,
         bucket_weights=data.bucket_weights,
@@ -47,24 +64,51 @@ def _construct(data, device: jax.Device) -> LoadedIndex:
         ivf_lengths=data.ivf_lengths,
         nbits=data.nbits,
         device=device,
+        residuals_on_device=not low_memory,
     )
-    return LoadedIndex(dev, ispec, device, ivf_lengths_host=data.ivf_lengths)
+    host_kwargs = {}
+    if low_memory:
+        doc_lengths = np.asarray(data.doc_lengths, np.int64)
+        offsets = np.concatenate([[0], np.cumsum(doc_lengths)])[:-1].astype(
+            np.int64
+        )
+        host_kwargs = {
+            "host_codes": np.asarray(data.codes, np.int32),
+            "host_residuals": data.residuals,  # may stay mmap-backed
+            "host_doc_offsets": offsets,
+            "host_doc_lengths": doc_lengths.astype(np.int32),
+        }
+    return LoadedIndex(
+        dev,
+        ispec,
+        device,
+        ivf_lengths_host=data.ivf_lengths,
+        low_memory=low_memory,
+        **host_kwargs,
+    )
 
 
 def reload_index(
-    index_path: str, devices: list[jax.Device]
+    index_path: str, devices: list[jax.Device], low_memory: bool = False
 ) -> dict[str, LoadedIndex | None]:
-    """Load the index for each device; returns {device_str: LoadedIndex|None}."""
+    """Load the index for each device; returns {device_str: LoadedIndex|None}.
+
+    low_memory is ignored for CPU devices (host == device memory there, as in
+    the reference: the flag "has no effect when device='cpu'", README).
+    """
     data = load_index_data(index_path)
     if data is None:
         return {str(d): None for d in devices}
 
+    def construct(d: jax.Device) -> LoadedIndex:
+        return _construct(data, d, low_memory and d.platform != "cpu")
+
     out: dict[str, LoadedIndex | None] = {}
     if len(devices) == 1:
-        out[str(devices[0])] = _construct(data, devices[0])
+        out[str(devices[0])] = construct(devices[0])
         return out
     with ThreadPoolExecutor(max_workers=len(devices)) as pool:
-        futures = {str(d): pool.submit(_construct, data, d) for d in devices}
+        futures = {str(d): pool.submit(construct, d) for d in devices}
         for key, fut in futures.items():
             try:
                 out[key] = fut.result()

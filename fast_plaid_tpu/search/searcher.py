@@ -14,7 +14,14 @@ import numpy as np
 import jax
 
 from fast_plaid_tpu.index.layout import round_up
-from fast_plaid_tpu.search.engine import candidate_capacity, search_core
+from fast_plaid_tpu.search.engine import (
+    candidate_capacity,
+    candidates_core,
+    final_topk_core,
+    rerank_rows_core,
+    search_core,
+    token_matrices_core,
+)
 from fast_plaid_tpu.search.load import LoadedIndex
 
 __all__ = ["search_on_device", "normalize_queries", "normalize_subset"]
@@ -86,6 +93,94 @@ def _tile_size(ispec, q_cap: int, mem_budget: int, n_queries: int) -> int:
     return int(max(1, min(64, by_scores, n_queries)))
 
 
+def host_gather_rows(loaded: LoadedIndex, pids: np.ndarray):
+    """Gather token windows for ``pids`` [B, R] from host-RAM arrays.
+
+    Returns (codes_rows [B,R,doc_cap] i32, res_rows [B,R,doc_cap,PD] u8,
+    tok_valid [B,R,doc_cap] bool). The low_memory streaming step: only these
+    rerank rows ever cross host->device.
+    """
+    ispec = loaded.ispec
+    doc_cap = ispec.doc_cap
+    n_docs = len(loaded.host_doc_lengths)
+    safe = np.clip(pids, 0, max(n_docs - 1, 0))
+    lens = np.where(
+        (pids < 0) | (pids >= n_docs), 0, loaded.host_doc_lengths[safe]
+    )
+    offs = loaded.host_doc_offsets[safe]
+    iota = np.arange(doc_cap, dtype=np.int64)
+    idx = offs[..., None] + iota
+    tok_valid = iota < lens[..., None]
+    t = loaded.host_codes.shape[0]
+    idx = np.clip(idx, 0, max(t - 1, 0))
+    codes_rows = loaded.host_codes[idx]
+    res_rows = loaded.host_residuals[idx]
+    return codes_rows, np.asarray(res_rows), tok_valid
+
+
+def _search_tile_low_memory(
+    loaded: LoadedIndex,
+    tile_dev,
+    sub_dev,
+    *,
+    top_k: int,
+    n_ivf_probe: int,
+    n_full_scores: int,
+    want_tokens: bool,
+    mem_budget: int,
+    cand_cap: int | None,
+):
+    """Two-phase cascade: device candidates -> host row stream -> device rerank."""
+    ispec = loaded.ispec
+    p2 = candidates_core(
+        loaded.dev,
+        tile_dev,
+        sub_dev,
+        ispec=ispec,
+        n_ivf_probe=n_ivf_probe,
+        n_full_scores=n_full_scores,
+        mem_budget=mem_budget,
+        cand_cap=cand_cap,
+    )
+    p2_np = np.asarray(p2)
+    codes_rows, res_rows, tok_valid = host_gather_rows(loaded, p2_np)
+    put = lambda x: jax.device_put(x, loaded.device)  # noqa: E731
+    exact = rerank_rows_core(
+        put(codes_rows),
+        put(res_rows),
+        put(tok_valid),
+        p2,
+        loaded.dev.centroids,
+        loaded.dev.bucket_weights,
+        tile_dev,
+        nbits=ispec.nbits,
+        sentinel_pid=ispec.sentinel_pid,
+        mem_budget=mem_budget,
+    )
+    fp, fs = final_topk_core(exact, p2, top_k=top_k)
+    if not want_tokens:
+        return fp, fs
+    fp_np = np.asarray(fp)
+    safe = np.where(fp_np < 0, ispec.sentinel_pid, fp_np)
+    codes_k, res_k, valid_k = host_gather_rows(loaded, safe)
+    tok = token_matrices_core(
+        put(codes_k),
+        put(res_k),
+        put(valid_k),
+        loaded.dev.centroids,
+        loaded.dev.bucket_weights,
+        tile_dev,
+        nbits=ispec.nbits,
+    )
+    n_docs = len(loaded.host_doc_lengths)
+    doc_lens = np.where(
+        (fp_np < 0) | (fp_np >= n_docs),
+        0,
+        loaded.host_doc_lengths[np.clip(fp_np, 0, n_docs - 1)],
+    )
+    return fp, fs, tok, doc_lens
+
+
 def search_on_device(
     loaded: LoadedIndex,
     queries: list[np.ndarray],
@@ -115,6 +210,8 @@ def search_on_device(
     batch, q_lens = _pad_queries(queries, ispec.dim)
     nq, q_cap, _ = batch.shape
     b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
+    if loaded.low_memory:
+        b_tile = min(b_tile, 8)  # bound the streamed row buffers
     cand_cap = None
     if loaded.ivf_lengths_host is not None:
         n_cells = min(q_cap * n_ivf_probe, ispec.n_partitions)
@@ -150,18 +247,31 @@ def search_on_device(
         else:
             sub_dev = None
 
-        out = search_core(
-            loaded.dev,
-            tile_dev,
-            sub_dev,
-            ispec=ispec,
-            top_k=top_k,
-            n_ivf_probe=n_ivf_probe,
-            n_full_scores=n_full_scores,
-            want_tokens=want_tokens,
-            mem_budget=mem_budget,
-            cand_cap=cand_cap,
-        )
+        if loaded.low_memory:
+            out = _search_tile_low_memory(
+                loaded,
+                tile_dev,
+                sub_dev,
+                top_k=top_k,
+                n_ivf_probe=n_ivf_probe,
+                n_full_scores=n_full_scores,
+                want_tokens=want_tokens,
+                mem_budget=mem_budget,
+                cand_cap=cand_cap,
+            )
+        else:
+            out = search_core(
+                loaded.dev,
+                tile_dev,
+                sub_dev,
+                ispec=ispec,
+                top_k=top_k,
+                n_ivf_probe=n_ivf_probe,
+                n_full_scores=n_full_scores,
+                want_tokens=want_tokens,
+                mem_budget=mem_budget,
+                cand_cap=cand_cap,
+            )
         if want_tokens:
             pids, scores, tok, doc_lens = (np.asarray(x) for x in out)
         else:

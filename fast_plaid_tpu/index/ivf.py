@@ -32,6 +32,12 @@ def build_ivf(
             np.zeros((0,), dtype=np.int32),
             np.zeros((n_partitions,), dtype=np.int64),
         )
+    if codes.size >= 1_000_000:  # native path pays off on large builds
+        from fast_plaid_tpu import native
+
+        result = native.build_ivf_native(codes, doc_lengths, n_partitions)
+        if result is not None:
+            return result
     pids = np.repeat(
         np.arange(n_docs, dtype=np.int64), np.asarray(doc_lengths, dtype=np.int64)
     )

@@ -109,8 +109,30 @@ def host_gather_rows(loaded: LoadedIndex, pids: np.ndarray):
     )
     offs = loaded.host_doc_offsets[safe]
     iota = np.arange(doc_cap, dtype=np.int64)
-    idx = offs[..., None] + iota
     tok_valid = iota < lens[..., None]
+
+    from fast_plaid_tpu import native
+
+    flat_offs = offs.reshape(-1)
+    flat_lens = lens.reshape(-1).astype(np.int32)
+    res_nat = native.gather_windows_u8(
+        loaded.host_residuals, flat_offs, flat_lens, doc_cap
+    )
+    codes_nat = native.gather_windows_u8(
+        loaded.host_codes.view(np.uint8).reshape(-1, 4),
+        flat_offs,
+        flat_lens,
+        doc_cap,
+    )
+    if res_nat is not None and codes_nat is not None:
+        pd = loaded.host_residuals.shape[1]
+        res_rows = res_nat.reshape(*pids.shape, doc_cap, pd)
+        codes_rows = (
+            codes_nat.reshape(-1).view(np.int32).reshape(*pids.shape, doc_cap)
+        )
+        return codes_rows, res_rows, tok_valid
+
+    idx = offs[..., None] + iota
     t = loaded.host_codes.shape[0]
     idx = np.clip(idx, 0, max(t - 1, 0))
     codes_rows = loaded.host_codes[idx]

@@ -1,0 +1,21 @@
+# Developer entry points (parity with the reference's Makefile targets).
+
+.PHONY: test native bench lint clean
+
+test:
+	python -m pytest tests/ -x -q
+
+native:
+	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread \
+	    fast_plaid_tpu/native/fastplaid_native.cpp \
+	    -o fast_plaid_tpu/native/_fastplaid_native.so
+
+bench:
+	python bench.py
+
+lint:
+	python -m ruff check fast_plaid_tpu tests || true
+
+clean:
+	rm -f fast_plaid_tpu/native/_fastplaid_native.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -44,37 +44,54 @@ def _lloyd(
     niters: int,
     chunk: int,
 ) -> jax.Array:
-    """Fixed-iteration Lloyd's over [T, D] data with k centroids."""
+    """Fixed-iteration Lloyd's over [T, D] data with k centroids.
+
+    The centroid update is a one-hot matmul segment-sum fused into the
+    assignment scan — scatter-add is pathologically slow on TPU, whereas
+    ``one_hot.T @ x`` rides the MXU.
+    """
     t, d = data.shape
     pad = (-t) % chunk
     data_p = jnp.pad(data, ((0, pad), (0, 0)))
-    valid = (
-        jnp.arange(t + pad) < t
-    )
+    valid = jnp.arange(t + pad) < t
     blocks = data_p.reshape(-1, chunk, d)
     valid_blocks = valid.reshape(-1, chunk)
-
     x2 = jnp.sum(blocks * blocks, axis=-1)  # [nb, chunk]
 
-    def assign(centroids: jax.Array) -> jax.Array:
+    def step(carry, _):
+        centroids, key = carry
         c2 = jnp.sum(centroids * centroids, axis=-1)  # [k]
 
-        def one(args):
-            x, xsq = args
-            # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c ; argmin over c
-            xc = jnp.dot(x, centroids.T, preferred_element_type=jnp.float32)
+        def block_fn(acc, blk):
+            x, xsq, ok = blk
+            xc = jnp.dot(
+                x.astype(jnp.bfloat16),
+                centroids.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
             dist = xsq[:, None] + c2[None, :] - 2.0 * xc
-            return jnp.argmin(dist, axis=-1).astype(jnp.int32)
+            codes = jnp.argmin(dist, axis=-1)
+            onehot = (
+                jax.nn.one_hot(codes, k, dtype=jnp.bfloat16)
+                * ok[:, None].astype(jnp.bfloat16)
+            )  # [chunk, k]
+            sums_blk = jnp.dot(
+                onehot.T, x.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # [k, d]
+            counts_blk = jnp.sum(
+                onehot, axis=0, dtype=jnp.float32
+            )
+            acc_sums, acc_counts = acc
+            return (acc_sums + sums_blk, acc_counts + counts_blk), None
 
-        return jax.lax.map(one, (blocks, x2)).reshape(-1)  # [t+pad]
-
-    def step(carry, it):
-        centroids, key = carry
-        codes = assign(centroids)
-        codes = jnp.where(valid, codes, k)  # padding rows -> overflow bucket
-        sums = jnp.zeros((k + 1, d), jnp.float32).at[codes].add(data_p)
-        counts = jnp.zeros((k + 1,), jnp.float32).at[codes].add(1.0)
-        sums, counts = sums[:k], counts[:k]
+        init_acc = (
+            jnp.zeros((k, d), jnp.float32),
+            jnp.zeros((k,), jnp.float32),
+        )
+        (sums, counts), _ = jax.lax.scan(
+            block_fn, init_acc, (blocks, x2, valid_blocks)
+        )
         new_centroids = sums / jnp.maximum(counts, 1.0)[:, None]
         # Empty clusters: re-seed from random data points.
         key, sub = jax.random.split(key)
@@ -84,9 +101,7 @@ def _lloyd(
         )
         return (new_centroids, key), None
 
-    (centroids, _), _ = jax.lax.scan(
-        step, (init, key), jnp.arange(niters)
-    )
+    (centroids, _), _ = jax.lax.scan(step, (init, key), jnp.arange(niters))
     return centroids
 
 

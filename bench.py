@@ -35,11 +35,13 @@ def main() -> None:
 
     docs = testing.random_documents(rng, n_docs, doc_len, dim, variable=True)
     queries = testing.random_queries(rng, n_queries, q_len, dim)
+    print(f"# corpus ready: {n_docs} docs", flush=True)
 
     t0 = time.perf_counter()
     dev, ispec = testing.build_memory_index(docs, nbits=4, seed=0)
     jax.block_until_ready(dev.codes)
     build_s = time.perf_counter() - t0
+    print(f"# index built in {build_s:.1f}s: {ispec}", flush=True)
 
     # Candidate capacity from real IVF stats (as the API layer does).
     ivf_lengths = np.asarray(dev.ivf_lengths)

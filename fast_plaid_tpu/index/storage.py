@@ -90,6 +90,143 @@ def chunk_paths(index_path: str, i: int) -> tuple[str, str, str, str]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Merged-mmap load cache.
+#
+# Parity with the reference's manifest-driven chunk merger (reference:
+# python/fast_plaid/search/load.py:35-217): per-chunk {i}.codes.npy /
+# {i}.residuals.npy are merged once into merged_codes.npy /
+# merged_residuals.npy with a JSON manifest recording each chunk's
+# (mtime, rows). Reloads then mmap one file instead of re-reading every
+# chunk; when only new chunks appeared the merge is incremental via an
+# in-place npy header resize + append (full rewrite as the fallback).
+# ---------------------------------------------------------------------------
+
+
+def _chunk_state(index_path: str, kind: str, num_chunks: int) -> list[dict]:
+    state = []
+    for i in range(num_chunks):
+        path = _p(index_path, f"{i}.{kind}.npy")
+        st = os.stat(path)
+        state.append({"chunk": i, "mtime": st.st_mtime, "size": st.st_size})
+    return state
+
+
+def _resize_npy_inplace(path: str, new_rows: int) -> bool:
+    """Grow a .npy file's leading dimension without rewriting its data.
+
+    Returns False when the new header would not fit in the existing header
+    block (caller falls back to a full rewrite).
+    """
+    import numpy.lib.format as npf
+
+    with open(path, "r+b") as f:
+        version = npf.read_magic(f)
+        shape, fortran, dtype = npf._read_array_header(f, version)
+        header_end = f.tell()
+        new_shape = (new_rows, *shape[1:])
+        header = {
+            "descr": npf.dtype_to_descr(dtype),
+            "fortran_order": fortran,
+            "shape": new_shape,
+        }
+        import io
+
+        buf = io.BytesIO()
+        try:
+            npf._write_array_header(buf, header, version)
+        except Exception:
+            npf.write_array_header_1_0(buf, header)
+        raw = buf.getvalue()
+        if len(raw) != header_end:
+            return False
+        f.seek(0)
+        f.write(raw)
+        return True
+
+
+def get_merged_mmap(
+    index_path: str, kind: str, num_chunks: int
+) -> np.ndarray | None:
+    """Return an mmap of the merged chunk data, maintaining the cache.
+
+    kind is "codes" or "residuals". Returns None when there are no chunks.
+    """
+    if num_chunks <= 0:
+        return None
+    merged_path = _p(index_path, f"merged_{kind}.npy")
+    manifest_path = _p(index_path, f"merged_{kind}.manifest.json")
+    state = _chunk_state(index_path, kind, num_chunks)
+
+    old: list[dict] = []
+    if os.path.exists(manifest_path) and os.path.exists(merged_path):
+        try:
+            with open(manifest_path) as f:
+                old = json.load(f)["chunks"]
+        except (json.JSONDecodeError, KeyError, OSError):
+            old = []
+
+    def rows_of(i: int) -> int:
+        arr = np.load(_p(index_path, f"{i}.{kind}.npy"), mmap_mode="r")
+        return int(arr.shape[0])
+
+    unchanged = 0
+    for a, b in zip(old, state):
+        if a["mtime"] == b["mtime"] and a["size"] == b["size"]:
+            unchanged += 1
+        else:
+            break
+
+    if unchanged == len(state) and len(old) == len(state):
+        return np.load(merged_path, mmap_mode="c")
+
+    try:
+        if 0 < unchanged == len(old) and unchanged < len(state):
+            # Pure append: grow the merged file in place.
+            base_rows = sum(rows_of(i) for i in range(unchanged))
+            new_rows = base_rows + sum(
+                rows_of(i) for i in range(unchanged, num_chunks)
+            )
+            if _resize_npy_inplace(merged_path, new_rows):
+                merged = np.load(merged_path, mmap_mode="r+")
+                cursor = base_rows
+                for i in range(unchanged, num_chunks):
+                    arr = np.load(_p(index_path, f"{i}.{kind}.npy"), mmap_mode="r")
+                    merged[cursor : cursor + arr.shape[0]] = arr
+                    cursor += arr.shape[0]
+                merged.flush()
+                del merged
+                with open(manifest_path, "w") as f:
+                    json.dump({"chunks": state}, f)
+                return np.load(merged_path, mmap_mode="c")
+    except (OSError, ValueError):
+        pass  # corrupt cache -> full rewrite (load.py:182-183 does the same)
+
+    # Full rewrite.
+    arrays = [
+        np.load(_p(index_path, f"{i}.{kind}.npy"), mmap_mode="r")
+        for i in range(num_chunks)
+    ]
+    total = sum(int(a.shape[0]) for a in arrays)
+    tail = arrays[0].shape[1:]
+    out = np.lib.format.open_memmap(
+        merged_path + ".tmp",
+        mode="w+",
+        dtype=arrays[0].dtype,
+        shape=(total, *tail),
+    )
+    cursor = 0
+    for a in arrays:
+        out[cursor : cursor + a.shape[0]] = a
+        cursor += a.shape[0]
+    out.flush()
+    del out
+    os.replace(merged_path + ".tmp", merged_path)
+    with open(manifest_path, "w") as f:
+        json.dump({"chunks": state}, f)
+    return np.load(merged_path, mmap_mode="c")
+
+
 @dataclass
 class IndexData:
     """Host-side (numpy) view of a fully loaded index."""
@@ -136,21 +273,23 @@ def load_index_data(index_path: str) -> IndexData | None:
         np.load(_p(index_path, "cluster_threshold.npy")).item()
     )
 
-    codes_list, res_list, doclens = [], [], []
+    doclens: list[int] = []
     for i in range(num_chunks):
-        cpath, rpath, dpath, _ = chunk_paths(index_path, i)
-        codes_list.append(np.load(cpath, mmap_mode="r"))
-        res_list.append(np.load(rpath, mmap_mode="r"))
-        with open(dpath) as f:
+        with open(chunk_paths(index_path, i)[2]) as f:
             doclens.extend(json.load(f))
 
-    if codes_list:
-        codes = np.concatenate([np.asarray(c, dtype=np.int32) for c in codes_list])
-        residuals = np.concatenate([np.asarray(r) for r in res_list], axis=0)
+    if num_chunks == 1:
+        # Single chunk: no merge needed, mmap it directly.
+        codes = np.load(chunk_paths(index_path, 0)[0], mmap_mode="c")
+        residuals = np.load(chunk_paths(index_path, 0)[1], mmap_mode="c")
+    elif num_chunks > 1:
+        codes = get_merged_mmap(index_path, "codes", num_chunks)
+        residuals = get_merged_mmap(index_path, "residuals", num_chunks)
     else:
         pd = (centroids.shape[1] * int(metadata["nbits"])) // 8
         codes = np.zeros((0,), dtype=np.int32)
         residuals = np.zeros((0, pd), dtype=np.uint8)
+    codes = np.asarray(codes, dtype=np.int32) if codes.dtype != np.int32 else codes
     doc_lengths = np.asarray(doclens, dtype=np.int32)
 
     ivf = ivf_lengths = None

@@ -73,8 +73,10 @@ def _construct(data, device: jax.Device, low_memory: bool) -> LoadedIndex:
             np.int64
         )
         host_kwargs = {
-            "host_codes": np.asarray(data.codes, np.int32),
-            "host_residuals": data.residuals,  # may stay mmap-backed
+            # Keep the merged-file mmaps as-is: low_memory's host arrays can
+            # stay disk-backed and page in on demand.
+            "host_codes": data.codes,
+            "host_residuals": data.residuals,
             "host_doc_offsets": offsets,
             "host_doc_lengths": doc_lengths.astype(np.int32),
         }

@@ -22,7 +22,6 @@ import numpy as np
 from fast_plaid_tpu.index import ivf as ivf_mod
 from fast_plaid_tpu.index import storage
 from fast_plaid_tpu.index.builder import compress_documents
-from fast_plaid_tpu.ops import codec as codec_ops
 
 __all__ = ["update_index"]
 

@@ -2,19 +2,19 @@
 
 The reference stores jagged per-document data in a ``StridedTensor``
 (reference: rust/search/tensor.rs:154-355) whose lookup picks an as_strided
-view per batch. XLA wants static shapes, so this engine uses a different,
-TPU-first realization of the same statistics:
+view per batch. XLA wants static shapes, and TPU gathers are billed per
+ROW, not per byte — so documents live in a doc-major padded layout:
 
-* token data lives flat and contiguous (``codes``[T], ``residuals``[T, PD]),
-* each document is addressed by ``doc_offsets[pid] + iota(doc_cap)`` with a
-  ``iota < doc_lengths[pid]`` validity mask — one static-shape gather, no
-  per-batch re-striding,
-* IVF cells are addressed the same way (``ivf_offsets``/``ivf_lengths`` with
-  a static ``cell_cap``).
+* ``codes``     [Np, doc_cap]       int32 — one row gather fetches a whole
+* ``residuals`` [Np, doc_cap, PD]   uint8   document's tokens
+* ``doc_lengths`` [Np] int32 masks the padding tail (0 beyond n_docs)
 
-All arrays carry ``doc_cap``/``cell_cap`` rows of tail padding so the
-offset+iota windows never read out of bounds, and one sentinel document
-(pid == n_docs, length 0) absorbs invalid candidate slots.
+(The flat token-major form with offset+iota windows costs one gather row
+PER TOKEN — ~160x more gather descriptors per candidate.)
+
+IVF cells keep the flat+offsets form (their gathers are one row per
+candidate slot already) with a static ``cell_cap`` window. One sentinel
+document (pid == n_docs, length 0) absorbs invalid candidate slots.
 """
 
 from __future__ import annotations
@@ -38,9 +38,8 @@ class DeviceIndex(NamedTuple):
 
     centroids: jax.Array  # [Kp, D] float32, rows >= K are zero
     bucket_weights: jax.Array  # [2^nbits] float32
-    codes: jax.Array  # [Tp] int32, flat token-major
-    residuals: jax.Array  # [Tp, PD] uint8, flat token-major
-    doc_offsets: jax.Array  # [Np] int32 (token offset of each doc)
+    codes: jax.Array  # [Np, doc_cap] int32 doc-major
+    residuals: jax.Array | None  # [Np, doc_cap, PD] uint8 (None in low_memory)
     doc_lengths: jax.Array  # [Np] int32 (0 beyond n_docs)
     ivf: jax.Array  # [Ip] int32 (pids, grouped by cell)
     ivf_offsets: jax.Array  # [Kp + 8] int32
@@ -63,11 +62,6 @@ class IndexSpec:
     def sentinel_pid(self) -> int:
         return self.n_docs
 
-    @property
-    def sentinel_cell(self) -> int:
-        # Points at the zero-length tail of ivf_offsets/ivf_lengths.
-        return -1  # resolved against Kp at trace time via clamping mask
-
 
 def to_device(
     *,
@@ -83,11 +77,10 @@ def to_device(
     doc_cap: int | None = None,
     cell_cap: int | None = None,
     pad_docs_to: int | None = None,
-    pad_tokens_to: int | None = None,
     pad_ivf_to: int | None = None,
     residuals_on_device: bool = True,
 ) -> tuple[DeviceIndex, IndexSpec]:
-    """Pad host arrays into the static device layout and transfer them.
+    """Pad host arrays (token-major flats) into the doc-major device layout.
 
     The ``pad_*``/``*_cap`` overrides force common static shapes across
     shards of a mesh-sharded index (parallel/sharded.py); padding documents
@@ -97,40 +90,45 @@ def to_device(
     n_real_docs = int(len(doc_lengths))
     n_docs = max(pad_docs_to or n_real_docs, n_real_docs)
     n_tokens = int(codes.shape[0])
-    pad_tokens = max(pad_tokens_to or n_tokens, n_tokens)
     pd = residuals.shape[1] if residuals.ndim == 2 else (dim * nbits) // 8
 
+    doc_lengths = np.asarray(doc_lengths, dtype=np.int64)
     if doc_cap is None:
         doc_cap = round_up(
             max(int(doc_lengths.max()) if n_real_docs else 1, 1), 16
         )
     kp = round_up(max(k, 1), 128)
 
-    # Token-major flats, padded by one doc window so offset+iota never OOBs.
-    tp = pad_tokens + doc_cap
-    codes_p = np.zeros((tp,), dtype=np.int32)
-    codes_p[:n_tokens] = codes.astype(np.int32, copy=False)
-    if residuals_on_device:
-        residuals_p = np.zeros((tp, pd), dtype=np.uint8)
-        residuals_p[:n_tokens] = residuals
-    else:
-        # low_memory: residuals stay in host RAM and are streamed per query
-        # batch for the rerank stage only (the TPU analog of the reference's
-        # CPU-pinned StridedTensors, load.rs:141-173 + tensor.rs:299-304;
-        # here codes stay on device since they are 16x smaller at nbits=4
-        # and feed the bandwidth-hungry approximate stage).
-        residuals_p = None
-
-    # Documents (+1 sentinel with length 0, offset at the padded tail).
+    # Documents (+1 sentinel with length 0) in doc-major padded form.
     np_docs = round_up(n_docs + 1, 8)
-    offsets = np.zeros((np_docs,), dtype=np.int32)
+    offsets = (
+        np.concatenate([[0], np.cumsum(doc_lengths)])[:-1]
+        if n_real_docs
+        else np.zeros((0,), np.int64)
+    )
+    codes2d = np.zeros((np_docs, doc_cap), dtype=np.int32)
     lengths = np.zeros((np_docs,), dtype=np.int32)
+    clipped = np.minimum(doc_lengths, doc_cap)
     if n_real_docs:
-        lengths[:n_real_docs] = doc_lengths.astype(np.int32, copy=False)
-        offsets[:n_real_docs] = np.concatenate(
-            [[0], np.cumsum(doc_lengths[:-1], dtype=np.int64)]
-        ).astype(np.int32)
-    offsets[n_real_docs:] = n_tokens  # sentinel and padding docs point at zeros
+        doc_ids = np.repeat(np.arange(n_real_docs, dtype=np.int64), doc_lengths)
+        within = np.arange(n_tokens, dtype=np.int64) - np.repeat(
+            offsets, doc_lengths
+        )
+        keep = within < doc_cap
+        dst = doc_ids[keep] * doc_cap + within[keep]
+        codes2d.reshape(-1)[dst] = np.asarray(codes, np.int32)[keep]
+    lengths[:n_real_docs] = clipped.astype(np.int32)
+
+    if residuals_on_device:
+        residuals2d = np.zeros((np_docs, doc_cap, pd), dtype=np.uint8)
+        if n_real_docs:
+            residuals2d.reshape(-1, pd)[dst] = np.asarray(residuals)[keep]
+    else:
+        # low_memory: residuals stay in host RAM (flat, possibly mmap) and
+        # are streamed per query batch for the rerank stage only (the TPU
+        # analog of the reference's CPU-pinned StridedTensors,
+        # load.rs:141-173 + tensor.rs:299-304).
+        residuals2d = None
 
     cent_p = np.zeros((kp, dim), dtype=np.float32)
     cent_p[:k] = centroids.astype(np.float32, copy=False)
@@ -162,9 +160,8 @@ def to_device(
     dev = DeviceIndex(
         centroids=put(cent_p),
         bucket_weights=put(np.asarray(bucket_weights, dtype=np.float32)),
-        codes=put(codes_p),
-        residuals=put(residuals_p) if residuals_p is not None else None,
-        doc_offsets=put(offsets),
+        codes=put(codes2d),
+        residuals=put(residuals2d) if residuals2d is not None else None,
         doc_lengths=put(lengths),
         ivf=put(ivf_p),
         ivf_offsets=put(ivf_off),

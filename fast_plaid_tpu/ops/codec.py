@@ -198,7 +198,16 @@ def decompress(
     """
     dim = centroids.shape[-1]
     bucket_ids = unpack_nibbles(packed, nbits, dim)
-    res = bucket_weights[bucket_ids]
+    n_options = 1 << nbits
+    if n_options <= 16:
+        # Per-element gathers are pathologically slow on TPU (~1e8/s); with
+        # <=16 buckets a flat select-sum runs on the VPU at memory speed.
+        ids8 = bucket_ids.astype(jnp.uint8)
+        res = jnp.zeros(bucket_ids.shape, jnp.float32)
+        for i in range(n_options):
+            res = res + jnp.where(ids8 == np.uint8(i), bucket_weights[i], 0.0)
+    else:
+        res = bucket_weights[bucket_ids]
     emb = centroids[codes] + res
     if normalize:
         norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)

@@ -99,7 +99,6 @@ def build_sharded_index(
         8,
     )
     pad_docs = per
-    pad_tokens = max(int(s["codes"].shape[0]) for s in shards)
     pad_ivf = max(int(s["ivf"].shape[0]) for s in shards)
 
     devs, ispec = [], None
@@ -117,7 +116,6 @@ def build_sharded_index(
             doc_cap=doc_cap,
             cell_cap=cell_cap,
             pad_docs_to=pad_docs,
-            pad_tokens_to=pad_tokens,
             pad_ivf_to=pad_ivf,
         )
         devs.append(dev)

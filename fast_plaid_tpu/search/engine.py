@@ -81,16 +81,10 @@ def _pad_to(x: jax.Array, size: int, axis: int, value) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _doc_token_window(
-    dev: DeviceIndex, pids: jax.Array, doc_cap: int
-) -> tuple[jax.Array, jax.Array]:
-    """Offset+iota token window: pids [...] -> (token idx [..., doc_cap], mask)."""
-    offs = dev.doc_offsets[pids]
+def _doc_mask(dev: DeviceIndex, pids: jax.Array, doc_cap: int) -> jax.Array:
+    """Validity mask [..., doc_cap] for doc-major rows gathered by pid."""
     lens = dev.doc_lengths[pids]
-    iota = jnp.arange(doc_cap, dtype=jnp.int32)
-    idx = offs[..., None] + iota
-    valid = iota < lens[..., None]
-    return idx, valid
+    return jnp.arange(doc_cap, dtype=jnp.int32) < lens[..., None]
 
 
 def _allowed_cells_mask(
@@ -109,8 +103,8 @@ def _allowed_cells_mask(
     chunks = subset_p.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
 
     def body(mask: jax.Array, pids: jax.Array) -> tuple[jax.Array, None]:
-        idx, valid = _doc_token_window(dev, pids, doc_cap)
-        tok_codes = dev.codes[idx]  # [B, chunk, doc_cap]
+        valid = _doc_mask(dev, pids, doc_cap)
+        tok_codes = dev.codes[pids]  # [B, chunk, doc_cap]
         tok_codes = jnp.where(valid, tok_codes, kp)  # kp -> dropped by scatter
 
         def scatter_b(m: jax.Array, c: jax.Array) -> jax.Array:
@@ -212,6 +206,11 @@ def candidates_impl(
         member = jnp.take_along_axis(subset, pos, axis=1) == cand
         cand = jnp.where(member, cand, sent_pid)
 
+    # Compact unique candidates to the front (duplicate slots were marked
+    # sentinel in place by the dedup; one more sort lets the all-sentinel
+    # tail chunks below skip their gathers entirely).
+    cand = jnp.sort(cand, axis=-1)
+
     # ---- 4. approximate scoring over fixed-size candidate chunks.
     scores_kq = scores_qc.transpose(0, 2, 1)  # [B, kp, Q]
     n_cand = cand.shape[1]
@@ -222,8 +221,8 @@ def candidates_impl(
 
     def approx_chunk(pids: jax.Array) -> jax.Array:  # [B, A] -> [B, A]
         def do(pids: jax.Array) -> jax.Array:
-            idx, valid = _doc_token_window(dev, pids, doc_cap)
-            tok_codes = dev.codes[idx]  # [B, A, doc_cap]
+            valid = _doc_mask(dev, pids, doc_cap)
+            tok_codes = dev.codes[pids]  # [B, A, doc_cap]
 
             def per_b(s_kq: jax.Array, c: jax.Array) -> jax.Array:
                 return s_kq[c]  # [A, doc_cap, Q]
@@ -367,10 +366,10 @@ def search_impl(
     p2_chunks = p2_p.reshape(b, rn, r_chunk).transpose(1, 0, 2)
 
     def exact_chunk(pids: jax.Array) -> jax.Array:
-        idx, valid = _doc_token_window(dev, pids, doc_cap)
+        valid = _doc_mask(dev, pids, doc_cap)
         emb = codec.decompress(
-            dev.codes[idx],
-            dev.residuals[idx],
+            dev.codes[pids],
+            dev.residuals[pids],
             dev.centroids,
             dev.bucket_weights,
             ispec.nbits,
@@ -388,10 +387,10 @@ def search_impl(
     # Token-score matrices for the winners only (recomputed — far cheaper
     # than materializing [B, R, doc_cap, Q] for every rerank candidate).
     safe = jnp.where(fp < 0, sent_pid, fp)
-    idx, valid = _doc_token_window(dev, safe, doc_cap)
+    valid = _doc_mask(dev, safe, doc_cap)
     tok = token_matrices(
-        dev.codes[idx],
-        dev.residuals[idx],
+        dev.codes[safe],
+        dev.residuals[safe],
         valid,
         dev.centroids,
         dev.bucket_weights,
@@ -480,10 +479,10 @@ def reconstruct_core(
     Replaces reconstruct_embeddings (reference: rust/utils/embeddings.rs:21-64,
     rayon per-doc loop) with one batched gather+decompress.
     """
-    idx, valid = _doc_token_window(dev, pids, ispec.doc_cap)
+    valid = _doc_mask(dev, pids, ispec.doc_cap)
     emb = codec.decompress(
-        dev.codes[idx],
-        dev.residuals[idx],
+        dev.codes[pids],
+        dev.residuals[pids],
         dev.centroids,
         dev.bucket_weights,
         ispec.nbits,

@@ -135,11 +135,24 @@ def candidates_impl(
     n_full_scores: int,
     mem_budget: int = 256 * 1024 * 1024,
     cand_cap: int | None = None,
+    approx_mode: str = "cells",
 ) -> jax.Array:
     """Cascade stages 1-5: probe, candidate generation, approximate scoring,
     pruning. Returns the rerank set p2 [B, R] (sentinel_pid padding), sorted
     by descending approximate score. Does not touch ``dev.residuals`` — the
     low_memory path keeps those in host RAM and streams only these R rows.
+
+    approx_mode selects the pruning estimator:
+
+    * "cells" (default, TPU-native): a candidate is scored from the probed
+      IVF cells it appears in — sum over query tokens of the max probed-cell
+      score (the original PLAID stage-1 estimator). Needs only the tiny
+      [B, C, Q] probe-score table; no per-token gathers. The rerank pool is
+      widened to n_full_scores/2 (instead of the reference's /4) because the
+      estimator is coarser; the final ranking is exact either way.
+    * "tokens" (reference parity, search.rs:554-599): every candidate token
+      gathers its centroid's query scores — a tighter estimate but
+      gather-descriptor-bound on TPU (~20M rows/s).
     """
     b, q, d = queries.shape
     kp = dev.centroids.shape[0]
@@ -172,82 +185,134 @@ def candidates_impl(
     cells = cells.reshape(b, q * probe)
     cells = _dedup_sorted(jnp.sort(cells, axis=-1), kp)
 
-    # ---- 3. candidates: exactly-compacted segmented gather, then dedup.
+    # ---- 3. candidates: exactly-compacted segmented gather.
     # Instead of a [C, cell_cap] window per probed cell (max-cell padding
     # waste), lay the probed cells' lists end to end in a static
     # [B, cand_cap] buffer: slot j belongs to the cell whose cumulative
-    # length range covers j. cand_cap defaults to the worst case
-    # (sum of the C largest cells) and can be capped by the caller.
+    # length range covers j. Ownership is resolved with a chunked
+    # compare-reduce over the C probed cells (a vmapped searchsorted lowers
+    # to a gather-heavy while loop on TPU). cand_cap defaults to the worst
+    # case (sum of the C largest cells) and can be capped by the caller.
     c_cells = cells.shape[1]
     offs = dev.ivf_offsets[cells]
     lens = dev.ivf_lengths[cells]  # sentinel cells -> 0
     seg_end = jnp.cumsum(lens, axis=-1)  # [B, C] inclusive ends
+    seg_start = seg_end - lens
     total = seg_end[:, -1]
     if cand_cap is None:
         cand_cap = c_cells * cell_cap
-    j = jnp.arange(cand_cap, dtype=jnp.int32)
-    cell_slot = jax.vmap(
-        lambda ends: jnp.searchsorted(ends, j, side="right")
-    )(seg_end)
-    cell_slot = jnp.minimum(cell_slot, c_cells - 1)  # [B, cand_cap]
-    seg_start = seg_end - lens
-    within = j[None, :] - jnp.take_along_axis(seg_start, cell_slot, axis=1)
-    src = jnp.take_along_axis(offs, cell_slot, axis=1) + within
-    src = jnp.clip(src, 0, dev.ivf.shape[0] - 1)
-    pid = dev.ivf[src]
-    valid = j[None, :] < total[:, None]
-    cand = jnp.where(valid, pid, sent_pid)
-    cand = _dedup_sorted(jnp.sort(cand, axis=-1), sent_pid)
+
+    j_chunk = max(128, min(cand_cap, mem_budget // max(1, 8 * b * c_cells)))
+    jn = _chunk_count(cand_cap, j_chunk)
+    j_blocks = jnp.arange(jn * j_chunk, dtype=jnp.int32).reshape(jn, j_chunk)
+    base_tab = offs - seg_start  # [B, C]
+    cell_ids = jnp.arange(c_cells, dtype=jnp.int32)
+
+    def gen_chunk(jj: jax.Array):  # [jc] -> pid [B, jc], cell_slot [B, jc]
+        owner = (jj[None, :, None] >= seg_start[:, None, :]) & (
+            jj[None, :, None] < seg_end[:, None, :]
+        )  # [B, jc, C], exactly one owner while jj < total
+        cell_slot = jnp.sum(
+            jnp.where(owner, cell_ids[None, None, :], 0), axis=-1
+        )
+        base = jnp.sum(jnp.where(owner, base_tab[:, None, :], 0), axis=-1)
+        src = jnp.clip(base + jj[None, :], 0, dev.ivf.shape[0] - 1)
+        pid = dev.ivf[src]
+        ok = jj[None, :] < total[:, None]
+        return jnp.where(ok, pid, sent_pid), jnp.where(ok, cell_slot, 0)
+
+    pid, cell_slot = jax.lax.map(gen_chunk, j_blocks)  # [jn, B, jc] x2
+    pid = pid.transpose(1, 0, 2).reshape(b, -1)[:, :cand_cap]
+    cell_slot = cell_slot.transpose(1, 0, 2).reshape(b, -1)[:, :cand_cap]
 
     if subset is not None:
         s_cap = subset.shape[1]
-        pos = jax.vmap(jnp.searchsorted)(subset, cand)
+        pos = jax.vmap(jnp.searchsorted)(subset, pid)
         pos = jnp.clip(pos, 0, s_cap - 1)
-        member = jnp.take_along_axis(subset, pos, axis=1) == cand
-        cand = jnp.where(member, cand, sent_pid)
+        member = jnp.take_along_axis(subset, pos, axis=1) == pid
+        pid = jnp.where(member, pid, sent_pid)
 
-    # Compact unique candidates to the front (duplicate slots were marked
-    # sentinel in place by the dedup; one more sort lets the all-sentinel
-    # tail chunks below skip their gathers entirely).
-    cand = jnp.sort(cand, axis=-1)
+    # ---- 4a. sort slots by pid (carrying the owning cell); runs of equal
+    # pid are one candidate each. Sentinels sort to the back.
+    pid_s, cell_s = jax.lax.sort((pid, cell_slot), dimension=-1, num_keys=1)
+    is_start = jnp.concatenate(
+        [jnp.ones((b, 1), bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=-1
+    ) & (pid_s != sent_pid)
 
-    # ---- 4. approximate scoring over fixed-size candidate chunks.
-    scores_kq = scores_qc.transpose(0, 2, 1)  # [B, kp, Q]
-    n_cand = cand.shape[1]
-    a_chunk = max(8, min(n_cand, mem_budget // max(1, b * doc_cap * q * 4)))
-    n_chunks = _chunk_count(n_cand, a_chunk)
-    cand_p = _pad_to(cand, n_chunks * a_chunk, 1, sent_pid)
-    cand_chunks = cand_p.reshape(b, n_chunks, a_chunk).transpose(1, 0, 2)
+    if approx_mode == "cells":
+        # ---- 4b. cell-level approximate scoring (PLAID stage-1): a
+        # candidate's estimate is sum_q max over the probed cells it
+        # occurs in of the query-token/cell score. Only the tiny [B, C, Q]
+        # probe-score table is gathered — no per-token work.
+        cells_safe = jnp.clip(cells, 0, kp - 1)
+        cell_scores = jnp.take_along_axis(
+            scores_qc.transpose(0, 2, 1),  # [B, kp, Q]
+            cells_safe[..., None],
+            axis=1,
+        ).astype(jnp.bfloat16)  # [B, C, Q]
+        s_slot = jnp.take_along_axis(
+            cell_scores, cell_s[..., None], axis=1
+        )  # [B, CAND, Q] bf16
 
-    def approx_chunk(pids: jax.Array) -> jax.Array:  # [B, A] -> [B, A]
-        def do(pids: jax.Array) -> jax.Array:
-            valid = _doc_mask(dev, pids, doc_cap)
-            tok_codes = dev.codes[pids]  # [B, A, doc_cap]
-
-            def per_b(s_kq: jax.Array, c: jax.Array) -> jax.Array:
-                return s_kq[c]  # [A, doc_cap, Q]
-
-            g = jax.vmap(per_b)(scores_kq, tok_codes)
-            sc = maxsim_reduce(g, valid)
-            return jnp.where(pids == sent_pid, NEG, sc)
-
-        # Valid candidates are compacted to the front by the dedup sort, so
-        # tail chunks are often all-sentinel: skip their gathers entirely.
-        return jax.lax.cond(
-            jnp.any(pids != sent_pid),
-            do,
-            lambda p: jnp.full(p.shape, NEG, jnp.float32),
-            pids,
+        # Segmented suffix-max within equal-pid runs (doubling): after
+        # log2(C) steps a run's first slot holds the max over the run.
+        neg = jnp.bfloat16(-3.0e38)
+        step = 1
+        while step < c_cells:
+            eq = pid_s[:, :-step] == pid_s[:, step:]
+            shifted = jnp.where(eq[..., None], s_slot[:, step:, :], neg)
+            s_slot = s_slot.at[:, : -step, :].max(shifted)
+            step *= 2
+        approx = jnp.where(
+            is_start,
+            jnp.sum(s_slot.astype(jnp.float32), axis=-1),
+            NEG,
         )
+        cand_for_prune = pid_s
+        pool_divisor = 2  # coarser estimator -> wider exact-rerank pool
+    else:
+        # ---- 4b'. token-level approximate scoring (reference parity).
+        cand = jnp.where(is_start, pid_s, sent_pid)
+        cand = jnp.sort(cand, axis=-1)  # compact uniques to the front
+        scores_kq = scores_qc.transpose(0, 2, 1)  # [B, kp, Q]
+        a_chunk = max(8, min(cand_cap, mem_budget // max(1, b * doc_cap * q * 4)))
+        n_chunks = _chunk_count(cand_cap, a_chunk)
+        cand_p = _pad_to(cand, n_chunks * a_chunk, 1, sent_pid)
+        cand_chunks = cand_p.reshape(b, n_chunks, a_chunk).transpose(1, 0, 2)
 
-    approx = jax.lax.map(approx_chunk, cand_chunks)  # [nch, B, A]
-    approx = approx.transpose(1, 0, 2).reshape(b, -1)
+        def approx_chunk(pids: jax.Array) -> jax.Array:  # [B, A] -> [B, A]
+            def do(p: jax.Array) -> jax.Array:
+                valid = _doc_mask(dev, p, doc_cap)
+                tok_codes = dev.codes[p]  # [B, A, doc_cap]
 
-    # ---- 5. prune: top n_full_scores, then quarter for decompression.
+                def per_b(s_kq: jax.Array, c: jax.Array) -> jax.Array:
+                    return s_kq[c]  # [A, doc_cap, Q]
+
+                g = jax.vmap(per_b)(scores_kq, tok_codes)
+                sc = maxsim_reduce(g, valid)
+                return jnp.where(p == sent_pid, NEG, sc)
+
+            # Uniques are compacted to the front, so tail chunks are often
+            # all-sentinel: skip their gathers entirely.
+            return jax.lax.cond(
+                jnp.any(pids != sent_pid),
+                do,
+                lambda p: jnp.full(p.shape, NEG, jnp.float32),
+                pids,
+            )
+
+        approx = jax.lax.map(approx_chunk, cand_chunks)  # [nch, B, A]
+        approx = approx.transpose(1, 0, 2).reshape(b, -1)[:, :cand_cap]
+        cand_for_prune = cand
+        pool_divisor = 4  # reference: n_full_scores // 4 (search.rs:614-619)
+
+    # ---- 5. prune: top n_full_scores, then the exact-rerank pool.
     k1 = min(n_full_scores, approx.shape[1])
     s1, i1 = jax.lax.top_k(approx, k1)
-    p1 = jnp.take_along_axis(cand_p, i1, axis=1)
-    r = min(max(n_full_scores // 4, 1), k1)
+    p1 = jnp.take_along_axis(cand_for_prune, i1, axis=1)
+    # -inf filler entries are duplicates/padding, never real candidates.
+    p1 = jnp.where(jnp.isneginf(s1), sent_pid, p1)
+    r = min(max(n_full_scores // pool_divisor, 1), k1)
     return p1[:, :r]  # top_k output is already sorted desc
 
 
@@ -334,6 +399,7 @@ def search_impl(
     want_tokens: bool,
     mem_budget: int = 256 * 1024 * 1024,
     cand_cap: int | None = None,
+    approx_mode: str = "cells",
 ):
     """Batched PLAID cascade (traceable body — also used inside shard_map).
 
@@ -353,6 +419,7 @@ def search_impl(
         n_full_scores=n_full_scores,
         mem_budget=mem_budget,
         cand_cap=cand_cap,
+        approx_mode=approx_mode,
     )
 
     # Chunk over the rerank set with gathers INSIDE each chunk so the
@@ -411,6 +478,7 @@ search_core = jax.jit(
         "want_tokens",
         "mem_budget",
         "cand_cap",
+        "approx_mode",
     ),
 )
 
@@ -422,6 +490,7 @@ candidates_core = jax.jit(
         "n_full_scores",
         "mem_budget",
         "cand_cap",
+        "approx_mode",
     ),
 )
 

@@ -397,6 +397,7 @@ class FastPlaid:
         n_full_scores: int,
         n_ivf_probe: int,
         show_progress: bool,
+        approx_mode: str = "cells",
     ) -> list:
         """Split the query batch across devices (fast_plaid.py:797-928)."""
         loaded = [indices[str(d)] for d in self.devices]
@@ -411,6 +412,7 @@ class FastPlaid:
                 want_tokens=want_tokens,
                 mem_budget=self.mem_budget,
                 show_progress=show_progress,
+                approx_mode=approx_mode,
             )
         n_dev = min(len(loaded), len(queries))
         per = math.ceil(len(queries) / n_dev)
@@ -436,6 +438,7 @@ class FastPlaid:
                     want_tokens=want_tokens,
                     mem_budget=self.mem_budget,
                     show_progress=show_progress,
+                    approx_mode=approx_mode,
                 )
                 for (ld, qs, ss) in chunks
                 if qs
@@ -454,8 +457,13 @@ class FastPlaid:
         show_progress: bool = True,
         subset: list[list[int]] | list[int] | None = None,
         n_processes: int | None = None,  # noqa: ARG002 - API parity
+        approx_mode: str = "cells",
     ) -> list[list[tuple[int, float]]]:
-        """Search the index; returns per query a list of (doc_id, score)."""
+        """Search the index; returns per query a list of (doc_id, score).
+
+        approx_mode: "cells" (TPU-native cell-level pruning, default) or
+        "tokens" (reference-parity token-level approximate scoring).
+        """
         indices, queries, subsets = self._prepare_search(queries_embeddings, subset)
         return self._dispatch_search(
             indices,
@@ -466,6 +474,7 @@ class FastPlaid:
             n_full_scores=n_full_scores,
             n_ivf_probe=n_ivf_probe,
             show_progress=show_progress,
+            approx_mode=approx_mode,
         )
 
     def search_token_scores(
@@ -478,6 +487,7 @@ class FastPlaid:
         show_progress: bool = True,
         subset: list[list[int]] | list[int] | None = None,
         n_processes: int | None = None,  # noqa: ARG002
+        approx_mode: str = "cells",
     ) -> list[list[tuple[int, float, np.ndarray]]]:
         """Like search() but each tuple carries a [q_tokens, doc_tokens] matrix."""
         indices, queries, subsets = self._prepare_search(queries_embeddings, subset)
@@ -490,6 +500,7 @@ class FastPlaid:
             n_full_scores=n_full_scores,
             n_ivf_probe=n_ivf_probe,
             show_progress=show_progress,
+            approx_mode=approx_mode,
         )
 
     # ------------------------------------------------------------------

@@ -151,6 +151,7 @@ def _search_tile_low_memory(
     want_tokens: bool,
     mem_budget: int,
     cand_cap: int | None,
+    approx_mode: str = "cells",
 ):
     """Two-phase cascade: device candidates -> host row stream -> device rerank."""
     ispec = loaded.ispec
@@ -163,6 +164,7 @@ def _search_tile_low_memory(
         n_full_scores=n_full_scores,
         mem_budget=mem_budget,
         cand_cap=cand_cap,
+        approx_mode=approx_mode,
     )
     p2_np = np.asarray(p2)
     codes_rows, res_rows, tok_valid = host_gather_rows(loaded, p2_np)
@@ -214,6 +216,7 @@ def search_on_device(
     want_tokens: bool,
     mem_budget: int = 256 * 1024 * 1024,
     show_progress: bool = False,
+    approx_mode: str = "cells",
 ) -> list:
     """Run the cascade for a list of queries on one device.
 
@@ -280,6 +283,7 @@ def search_on_device(
                 want_tokens=want_tokens,
                 mem_budget=mem_budget,
                 cand_cap=cand_cap,
+                approx_mode=approx_mode,
             )
         else:
             out = search_core(
@@ -293,6 +297,7 @@ def search_on_device(
                 want_tokens=want_tokens,
                 mem_budget=mem_budget,
                 cand_cap=cand_cap,
+                approx_mode=approx_mode,
             )
         if want_tokens:
             pids, scores, tok, doc_lens = (np.asarray(x) for x in out)

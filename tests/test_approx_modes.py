@@ -1,0 +1,43 @@
+"""Cell-level vs token-level approximate pruning: both must rank exactly.
+
+The two estimators only decide WHICH candidates reach the exact rerank;
+the final scores are exact either way, so on a well-probed small corpus
+the top results must agree.
+"""
+
+import numpy as np
+
+from fast_plaid_tpu import search
+from fast_plaid_tpu.testing import random_documents, random_queries
+
+
+def test_modes_agree_on_top_results(test_index_path):
+    rng = np.random.default_rng(0)
+    docs = random_documents(rng, 40, 16, 32, variable=True)
+    eng = search.FastPlaid(index=test_index_path, device="cpu")
+    eng.create(documents_embeddings=docs)
+    queries = random_queries(rng, 4, 6, 32)
+    r_cells = eng.search(
+        queries, top_k=5, show_progress=False, approx_mode="cells"
+    )
+    r_tokens = eng.search(
+        queries, top_k=5, show_progress=False, approx_mode="tokens"
+    )
+    for a, b in zip(r_cells, r_tokens):
+        # same documents in the same order with identical exact scores
+        top = min(len(a), len(b), 3)
+        assert [p for p, _ in a[:top]] == [p for p, _ in b[:top]]
+        for (_, sa), (_, sb) in zip(a[:top], b[:top]):
+            assert abs(sa - sb) < 1e-3
+
+
+def test_exact_doc_found_in_both_modes(test_index_path):
+    rng = np.random.default_rng(1)
+    docs = random_documents(rng, 30, 12, 32)
+    eng = search.FastPlaid(index=test_index_path, device="cpu")
+    eng.create(documents_embeddings=docs)
+    for mode in ("cells", "tokens"):
+        res = eng.search(
+            docs[7][None], top_k=1, show_progress=False, approx_mode=mode
+        )
+        assert res[0][0][0] == 7

@@ -143,7 +143,9 @@ class TestEdgeCases:
         results = eng.search(
             _queries(19, 1), top_k=5, n_full_scores=8, show_progress=False
         )
-        assert 0 < len(results[0]) <= 2  # rerank pool is n_full/4
+        # rerank pool: n_full/2 in the default cells mode (n_full/4 in
+        # reference-parity tokens mode)
+        assert 0 < len(results[0]) <= 4
 
 
 class TestScoreConsistency:

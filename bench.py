@@ -62,17 +62,22 @@ def main() -> None:
             cand_cap=cand_cap,
         )
 
-    # One big device-resident tile: amortizes dispatch/transfer latency the
-    # way a production server would (the reference similarly excludes JIT
+    # Big device-resident tiles with DIFFERENT queries per rep: amortizes
+    # dispatch/transfer latency the way a production server would while
+    # defeating any result caching (the reference similarly excludes JIT
     # warmup and stages queries on-device, README.md:338).
-    tile = jax.device_put(queries)
-    jax.block_until_ready(run(tile))  # warmup / compile
+    reps = 5
+    tiles = [
+        jax.device_put(
+            testing.random_queries(rng, n_queries, q_len, dim)
+        )
+        for _ in range(reps)
+    ]
+    jax.block_until_ready(run(jax.device_put(queries)))  # warmup / compile
 
     t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        out = run(tile)
-    jax.block_until_ready(out)
+    outs = [run(t) for t in tiles]
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - t0
     qps = (reps * n_queries) / elapsed
 

@@ -189,6 +189,7 @@ def decompress(
     nbits: int,
     *,
     normalize: bool = True,
+    out_dtype=None,
 ) -> jax.Array:
     """Reconstruct embeddings: centroid[code] + weight[bucket], L2-normalized.
 
@@ -212,4 +213,8 @@ def decompress(
     if normalize:
         norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
         emb = emb / jnp.maximum(norm, 1e-12)
+    if out_dtype is not None:
+        # Emitting bf16 here (normalization still in f32) halves the HBM
+        # write of the decompressed tile before the MaxSim matmul.
+        emb = emb.astype(out_dtype)
     return emb

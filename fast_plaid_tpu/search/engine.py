@@ -352,7 +352,9 @@ def rerank_rows(
 
     def exact_chunk(args) -> jax.Array:
         c, res, valid, p = args
-        emb = codec.decompress(c, res, centroids, bucket_weights, nbits)
+        emb = codec.decompress(
+            c, res, centroids, bucket_weights, nbits, out_dtype=RERANK_DTYPE
+        )
         sc, _ = _exact_scores(emb, queries, valid)
         return jnp.where(p == sentinel_pid, NEG, sc)
 
@@ -371,7 +373,10 @@ def token_matrices(
     nbits: int,
 ) -> jax.Array:
     """[B, K, doc_cap, Q] token-score matrices for winner documents."""
-    emb = codec.decompress(codes_rows, res_rows, centroids, bucket_weights, nbits)
+    emb = codec.decompress(
+        codes_rows, res_rows, centroids, bucket_weights, nbits,
+        out_dtype=RERANK_DTYPE,
+    )
     _, tok = _exact_scores(emb, queries, tok_valid)
     return jnp.where(tok_valid[..., None], tok, 0.0)
 
@@ -440,7 +445,8 @@ def search_impl(
             dev.centroids,
             dev.bucket_weights,
             ispec.nbits,
-        )  # [B, Rc, doc_cap, D] f32
+            out_dtype=RERANK_DTYPE,
+        )  # [B, Rc, doc_cap, D] bf16
         sc, _ = _exact_scores(emb, queries, valid)
         return jnp.where(pids == sent_pid, NEG, sc)
 

@@ -38,7 +38,7 @@ def main() -> None:
     print(f"# corpus ready: {n_docs} docs", flush=True)
 
     t0 = time.perf_counter()
-    dev, ispec = testing.build_memory_index(docs, nbits=4, seed=0)
+    dev, ispec = testing.build_memory_index(docs, nbits=4, seed=0, verbose=True)
     jax.block_until_ready(dev.codes)
     build_s = time.perf_counter() - t0
     print(f"# index built in {build_s:.1f}s: {ispec}", flush=True)

@@ -81,7 +81,7 @@ def compress_documents(
     centroids: np.ndarray,
     bucket_cutoffs: np.ndarray,
     nbits: int,
-    token_block: int = 32_768,
+    token_block: int = 262_144,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Compress a batch of documents to (codes [T] int32, packed [T, PD] u8).
 

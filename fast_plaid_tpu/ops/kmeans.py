@@ -132,6 +132,13 @@ def train_kmeans(
         data = data[sel]
         t = cap
 
+    # Trim to a whole number of chunks: the jitted Lloyd's program then has
+    # a standard shape per (k, chunk), so compiles are reused across
+    # corpora (dropping <1 chunk of random samples is statistically free).
+    if t > chunk and t % chunk:
+        t = (t // chunk) * chunk
+        data = data[:t]
+
     init_idx = rng.permutation(t)[:k]
     init = jnp.asarray(data[init_idx])
     key = jax.random.PRNGKey(seed)

@@ -250,9 +250,30 @@ def candidates_impl(
             cells_safe[..., None],
             axis=1,
         ).astype(jnp.bfloat16)  # [B, C, Q]
-        s_slot = jnp.take_along_axis(
-            cell_scores, cell_s[..., None], axis=1
-        )  # [B, CAND, Q] bf16
+
+        # Per-slot score lookup as a one-hot MXU matmul: with C <= q*probe
+        # cells the [B, jc, C] one-hot times [B, C, Q] einsum beats a
+        # 15M-row gather by an order of magnitude on TPU.
+        sc_chunk = max(
+            256, min(cand_cap, mem_budget // max(1, b * c_cells * 2))
+        )
+        scn = _chunk_count(cand_cap, sc_chunk)
+        cell_s_p = _pad_to(cell_s, scn * sc_chunk, 1, 0)
+        cell_chunks = cell_s_p.reshape(b, scn, sc_chunk).transpose(1, 0, 2)
+
+        def slot_scores(cc: jax.Array) -> jax.Array:  # [B, jc] -> [B, jc, Q]
+            oh = (cc[..., None] == cell_ids[None, None, :]).astype(
+                jnp.bfloat16
+            )
+            return jax.lax.dot_general(
+                oh,
+                cell_scores,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+
+        s_slot = jax.lax.map(slot_scores, cell_chunks)  # [scn, B, jc, Q]
+        s_slot = s_slot.transpose(1, 0, 2, 3).reshape(b, -1, q)[:, :cand_cap]
 
         # Segmented suffix-max within equal-pid runs (doubling): after
         # log2(C) steps a run's first slot holds the max over the run.

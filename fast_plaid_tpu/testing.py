@@ -40,18 +40,32 @@ def build_memory_index(
     k: int | None = None,
     kmeans_niters: int = 4,
     device=None,
+    verbose: bool = False,
 ) -> tuple[DeviceIndex, IndexSpec]:
     """Full index build pipeline -> device arrays, skipping persistence."""
+    import time
+
+    def mark(name, t0):
+        if verbose:
+            print(f"#   build phase {name}: {time.perf_counter() - t0:.1f}s", flush=True)
+        return time.perf_counter()
+
+    t = time.perf_counter()
     flat = np.concatenate(documents, axis=0)
     if k is None:
         k = min(num_partitions_heuristic(flat.shape[0]), flat.shape[0])
+    t = mark("concat", t)
     centroids = train_kmeans(flat, k=k, niters=kmeans_niters, seed=seed)
+    t = mark(f"kmeans k={k}", t)
     params = train_codec_from_documents(documents, centroids, nbits, seed)
+    t = mark("codec", t)
     codes, packed = compress_documents(
         documents, centroids, params.bucket_cutoffs, nbits
     )
+    t = mark("compress", t)
     doc_lengths = np.asarray([d.shape[0] for d in documents], np.int64)
     ivf, ivf_lengths = ivf_mod.build_ivf(codes, doc_lengths, centroids.shape[0])
+    t = mark("ivf", t)
     return to_device(
         centroids=centroids,
         bucket_weights=params.bucket_weights,

@@ -90,7 +90,7 @@ def _tile_size(ispec, q_cap: int, mem_budget: int, n_queries: int) -> int:
     """Queries per device tile, sized so the [B, Q, Kp] score tensor fits."""
     kp = round_up(max(ispec.n_partitions, 1), 128)
     by_scores = max(1, mem_budget // max(1, q_cap * kp * 4 * 2))
-    return int(max(1, min(64, by_scores, n_queries)))
+    return int(max(1, min(256, by_scores, n_queries)))
 
 
 def host_gather_rows(loaded: LoadedIndex, pids: np.ndarray):

@@ -84,7 +84,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "plaid_search_qps_25k_docs_d128_single_chip",
+                "metric": f"plaid_search_qps_{n_docs}_docs_d128_single_chip",
                 "value": round(qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / BASELINE_QPS, 3),

@@ -10,9 +10,10 @@ rust/index/create.rs:307-364, 404-497) for the TPU VPU:
   instead pack ``vpb = 8 // nbits`` bucket ids per byte with shifts and
   unpack with shift+mask, which vectorizes directly on the VPU.
 * The on-disk byte layout therefore differs from the reference (it is our
-  own format, versioned in metadata.json): for a packed byte ``b`` holding
-  dims ``j*vpb .. j*vpb+vpb-1``, value ``i`` lives at bits
-  ``[i*nbits, (i+1)*nbits)`` (little-endian within the byte).
+  own format, versioned in metadata.json): packing is plane-major — byte
+  ``i`` of a token's PD bytes holds dims ``i, i+PD, ..., i+(vpb-1)*PD``
+  with plane ``j`` at bits ``[j*nbits, (j+1)*nbits)`` — so unpacking is a
+  lane-contiguous concat of shifted planes (no cross-lane interleave).
 
 Quantization semantics match the reference exactly:
 
@@ -145,24 +146,29 @@ def quantize_residuals(residuals: jax.Array, bucket_cutoffs: jax.Array) -> jax.A
 
 
 def pack_nibbles(bucket_ids: jax.Array, nbits: int) -> jax.Array:
-    """Pack [T, D] bucket ids (< 2^nbits) into [T, D*nbits/8] uint8."""
+    """Pack [T, D] bucket ids (< 2^nbits) into [T, D*nbits/8] uint8.
+
+    Plane-major layout: byte ``i`` holds dims ``i, i+PD, i+2*PD, ...``
+    (value ``j`` at bits ``[j*nbits, (j+1)*nbits)``). Unpacking is then a
+    lane-contiguous concatenation of shifted planes — no cross-lane
+    interleave, which is a slow shuffle on the TPU VPU.
+    """
     vpb = 8 // nbits
     t, d = bucket_ids.shape
-    vals = bucket_ids.reshape(t, d // vpb, vpb).astype(jnp.uint8)
-    shifts = (jnp.arange(vpb, dtype=jnp.uint8) * nbits)[None, None, :]
-    return jnp.sum(
-        vals << shifts, axis=-1, dtype=jnp.uint8
-    )
+    pd = d // vpb
+    planes = bucket_ids.reshape(t, vpb, pd).astype(jnp.uint8)
+    shifts = (jnp.arange(vpb, dtype=jnp.uint8) * nbits)[None, :, None]
+    return jnp.sum(planes << shifts, axis=-2, dtype=jnp.uint8)
 
 
 def unpack_nibbles(packed: jax.Array, nbits: int, dim: int) -> jax.Array:
-    """Unpack [..., D*nbits/8] uint8 into [..., D] int32 bucket ids."""
+    """Unpack [..., D*nbits/8] uint8 into [..., D] uint8 bucket ids."""
     vpb = 8 // nbits
     mask = jnp.uint8((1 << nbits) - 1)
-    shifts = (jnp.arange(vpb, dtype=jnp.uint8) * nbits)
-    # [..., PD, vpb]
-    vals = (packed[..., None] >> shifts[None, :]) & mask
-    return vals.reshape(*packed.shape[:-1], dim).astype(jnp.int32)
+    planes = [
+        (packed >> jnp.uint8(j * nbits)) & mask for j in range(vpb)
+    ]
+    return jnp.concatenate(planes, axis=-1) if vpb > 1 else planes[0]
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "block"))
@@ -198,17 +204,18 @@ def decompress(
     1e-12 norm clamp) without any lookup tables.
     """
     dim = centroids.shape[-1]
-    bucket_ids = unpack_nibbles(packed, nbits, dim)
+    bucket_ids = unpack_nibbles(packed, nbits, dim)  # uint8
     n_options = 1 << nbits
     if n_options <= 16:
         # Per-element gathers are pathologically slow on TPU (~1e8/s); with
         # <=16 buckets a flat select-sum runs on the VPU at memory speed.
-        ids8 = bucket_ids.astype(jnp.uint8)
         res = jnp.zeros(bucket_ids.shape, jnp.float32)
         for i in range(n_options):
-            res = res + jnp.where(ids8 == np.uint8(i), bucket_weights[i], 0.0)
+            res = res + jnp.where(
+                bucket_ids == np.uint8(i), bucket_weights[i], 0.0
+            )
     else:
-        res = bucket_weights[bucket_ids]
+        res = bucket_weights[bucket_ids.astype(jnp.int32)]
     emb = centroids[codes] + res
     if normalize:
         norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)

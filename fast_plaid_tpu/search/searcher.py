@@ -65,6 +65,13 @@ def normalize_subset(subset, num_queries: int) -> list[list[int]] | None:
 def _pad_queries(
     queries: list[np.ndarray], dim: int
 ) -> tuple[np.ndarray, list[int]]:
+    for q in queries:
+        if q.ndim != 2 or q.shape[-1] != dim:
+            msg = (
+                f"Query embeddings must be [tokens, {dim}] to match the "
+                f"index dimension; got shape {tuple(q.shape)}."
+            )
+            raise ValueError(msg)
     lens = [int(q.shape[0]) for q in queries]
     q_cap = round_up(max(lens + [1]), 8)
     batch = np.zeros((len(queries), q_cap, dim), dtype=np.float32)

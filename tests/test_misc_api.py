@@ -192,3 +192,17 @@ class TestMetadataDocumentCount:
             start_from_scratch=0,
         )
         check(16)
+
+
+class TestValidation:
+    def test_query_dim_mismatch_raises(self, test_index_path):
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        eng.create(documents_embeddings=_docs(30, 10))
+        bad = np.random.default_rng(0).standard_normal((1, 5, DIM * 2))
+        with pytest.raises(ValueError, match="dimension"):
+            eng.search(bad.astype(np.float32), show_progress=False)
+
+    def test_search_before_create_raises(self, test_index_path):
+        eng = search.FastPlaid(index=test_index_path, device="cpu")
+        with pytest.raises(FileNotFoundError):
+            eng.search(_queries(31, 1), show_progress=False)

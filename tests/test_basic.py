@@ -88,3 +88,13 @@ class TestBasicCreateAndSearch:
             make_queries(rng, 2, 4, 32), top_k=4, show_progress=False
         )
         assert len(results) == 2
+
+
+def test_long_documents(test_index_path):
+    """Docs in the reference benchmark regime (~300 tokens)."""
+    rng = np.random.default_rng(99)
+    docs = make_docs(rng, 25, 300, 64, variable=True)
+    eng = search.FastPlaid(index=test_index_path, device="cpu")
+    eng.create(documents_embeddings=docs)
+    res = eng.search(docs[3][None, :64, :], top_k=3, show_progress=False)
+    assert res[0][0][0] == 3

@@ -126,6 +126,10 @@ def train_kmeans(
     k = int(min(k, t))
     rng = np.random.default_rng(seed)
 
+    # Keep the [chunk, k] distance tile within ~1 GiB on device.
+    max_chunk = max(1024, (1 << 30) // max(4 * k, 1))
+    chunk = int(min(chunk, max_chunk))
+
     cap = k * max_points_per_centroid
     if t > cap:
         sel = rng.choice(t, size=cap, replace=False)

@@ -12,6 +12,7 @@ Here both modes are SPMD programs over a device mesh:
   replicated, the query batch partitioned by the compiler via shardings.
 """
 
+from fast_plaid_tpu.parallel.api import ShardedFastPlaid
 from fast_plaid_tpu.parallel.mesh import make_mesh
 from fast_plaid_tpu.parallel.sharded import (
     ShardedIndex,
@@ -21,6 +22,7 @@ from fast_plaid_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "ShardedFastPlaid",
     "make_mesh",
     "ShardedIndex",
     "build_sharded_index",

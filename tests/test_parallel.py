@@ -128,3 +128,29 @@ def test_query_sharded_matches_single_device(corpus):
     np.testing.assert_allclose(
         np.asarray(scores), np.asarray(ref_scores), rtol=1e-5
     )
+
+
+def test_sharded_fastplaid_from_disk(tmp_path):
+    """ShardedFastPlaid loads an on-disk index over a CPU mesh and agrees
+    with single-device FastPlaid on the top result."""
+    import numpy as np
+
+    from fast_plaid_tpu import search
+    from fast_plaid_tpu.parallel import ShardedFastPlaid, make_mesh
+    from fast_plaid_tpu.testing import random_documents, random_queries
+
+    rng = np.random.default_rng(3)
+    docs = random_documents(rng, 48, 14, 32, variable=True)
+    path = str(tmp_path / "idx")
+    eng = search.FastPlaid(index=path, device="cpu")
+    eng.create(documents_embeddings=docs)
+    queries = random_queries(rng, 4, 5, 32)
+    ref = eng.search(queries, top_k=3, show_progress=False)
+
+    cpus = jax.devices("cpu")
+    sharded = ShardedFastPlaid(path, mesh=make_mesh(devices=cpus[:4]))
+    got = sharded.search(queries, top_k=3)
+    assert len(got) == 4
+    for a, b in zip(got, ref):
+        assert a[0][0] == b[0][0]
+        assert abs(a[0][1] - b[0][1]) < 1e-3

@@ -33,12 +33,17 @@ def main() -> None:
     doc_len, dim = 160, 128
     n_queries, q_len = 256, 32
 
-    docs = testing.random_documents(rng, n_docs, doc_len, dim, variable=True)
+    flat, doc_lengths = testing.random_flat_corpus(
+        rng, n_docs, doc_len, dim, variable=True
+    )
     queries = testing.random_queries(rng, n_queries, q_len, dim)
-    print(f"# corpus ready: {n_docs} docs", flush=True)
+    print(f"# corpus ready: {n_docs} docs, {flat.shape[0]} tokens", flush=True)
 
     t0 = time.perf_counter()
-    dev, ispec = testing.build_memory_index(docs, nbits=4, seed=0, verbose=True)
+    dev, ispec = testing.build_memory_index_flat(
+        flat, doc_lengths, nbits=4, seed=0, verbose=True
+    )
+    del flat
     jax.block_until_ready(dev.codes)
     build_s = time.perf_counter() - t0
     print(f"# index built in {build_s:.1f}s: {ispec}", flush=True)

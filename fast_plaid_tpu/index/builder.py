@@ -83,16 +83,27 @@ def compress_documents(
     nbits: int,
     token_block: int = 262_144,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Compress a batch of documents to (codes [T] int32, packed [T, PD] u8).
-
-    Tokens are concatenated and processed in fixed ``token_block`` windows
-    (padded), so jit compiles at most two shapes per build regardless of the
-    corpus size.
-    """
+    """Compress a batch of documents to (codes [T] int32, packed [T, PD] u8)."""
     if not documents:
         pd = codec.packed_dim(centroids.shape[1], nbits)
         return np.zeros((0,), np.int32), np.zeros((0, pd), np.uint8)
     flat = np.concatenate(documents, axis=0).astype(np.float32, copy=False)
+    return compress_tokens(flat, centroids, bucket_cutoffs, nbits, token_block)
+
+
+def compress_tokens(
+    flat: np.ndarray,
+    centroids: np.ndarray,
+    bucket_cutoffs: np.ndarray,
+    nbits: int,
+    token_block: int = 262_144,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a flat [T, D] token array (no per-document copies).
+
+    Tokens are processed in fixed ``token_block`` windows (padded), so jit
+    compiles at most two shapes per build regardless of the corpus size.
+    """
+    flat = np.asarray(flat, dtype=np.float32)
     t = flat.shape[0]
     cent = jnp.asarray(centroids, dtype=jnp.float32)
     cuts = jnp.asarray(bucket_cutoffs, dtype=jnp.float32)

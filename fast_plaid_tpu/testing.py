@@ -7,12 +7,43 @@ import numpy as np
 from fast_plaid_tpu.index import ivf as ivf_mod
 from fast_plaid_tpu.index.builder import (
     compress_documents,
+    compress_tokens,
     train_codec_from_documents,
 )
 from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec, to_device
+from fast_plaid_tpu.ops import codec as codec_ops
 from fast_plaid_tpu.ops.kmeans import num_partitions_heuristic, train_kmeans
 
-__all__ = ["random_documents", "random_queries", "build_memory_index"]
+__all__ = [
+    "random_documents",
+    "random_queries",
+    "random_flat_corpus",
+    "build_memory_index",
+    "build_memory_index_flat",
+]
+
+
+def random_flat_corpus(
+    rng: np.random.Generator, n: int, length: int, dim: int, variable: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Memory-lean corpus: one flat [T, D] token array + doc lengths.
+
+    Avoids the per-document array list (3x peak RAM at large corpus sizes).
+    """
+    if variable:
+        lens = rng.integers(max(length // 2, 1), length + 1, size=n).astype(
+            np.int64
+        )
+    else:
+        lens = np.full((n,), length, np.int64)
+    t = int(lens.sum())
+    flat = np.empty((t, dim), np.float32)
+    block = 1 << 20
+    for start in range(0, t, block):
+        end = min(start + block, t)
+        x = rng.standard_normal((end - start, dim)).astype(np.float32)
+        flat[start:end] = x / np.linalg.norm(x, axis=-1, keepdims=True)
+    return flat, lens
 
 
 def random_documents(
@@ -65,6 +96,68 @@ def build_memory_index(
     t = mark("compress", t)
     doc_lengths = np.asarray([d.shape[0] for d in documents], np.int64)
     ivf, ivf_lengths = ivf_mod.build_ivf(codes, doc_lengths, centroids.shape[0])
+    t = mark("ivf", t)
+    return to_device(
+        centroids=centroids,
+        bucket_weights=params.bucket_weights,
+        codes=codes,
+        residuals=packed,
+        doc_lengths=doc_lengths,
+        ivf=ivf,
+        ivf_lengths=ivf_lengths,
+        nbits=nbits,
+        device=device,
+    )
+
+
+def build_memory_index_flat(
+    flat: np.ndarray,
+    doc_lengths: np.ndarray,
+    nbits: int = 4,
+    seed: int = 42,
+    k: int | None = None,
+    kmeans_niters: int = 4,
+    device=None,
+    verbose: bool = False,
+) -> tuple[DeviceIndex, IndexSpec]:
+    """Memory-lean build from a flat token array (large-corpus benches).
+
+    Codec training samples held-out tokens uniformly from the flat array
+    instead of whole documents — statistically equivalent for quantile
+    estimation, without materializing a per-document list.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    def mark(name, t0):
+        if verbose:
+            print(
+                f"#   build phase {name}: {time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
+        return time.perf_counter()
+
+    t = time.perf_counter()
+    rng = np.random.default_rng(seed)
+    if k is None:
+        k = min(num_partitions_heuristic(flat.shape[0]), flat.shape[0])
+    centroids = train_kmeans(flat, k=k, niters=kmeans_niters, seed=seed)
+    t = mark(f"kmeans k={k}", t)
+
+    heldout_n = min(50_000, flat.shape[0])
+    heldout = flat[rng.choice(flat.shape[0], heldout_n, replace=False)]
+    h_codes = np.asarray(
+        codec_ops.assign_codes(jnp.asarray(heldout), jnp.asarray(centroids))
+    )
+    params = codec_ops.train_codec(heldout - centroids[h_codes], nbits)
+    t = mark("codec", t)
+
+    codes, packed = compress_tokens(flat, centroids, params.bucket_cutoffs, nbits)
+    t = mark("compress", t)
+    ivf, ivf_lengths = ivf_mod.build_ivf(
+        codes, np.asarray(doc_lengths, np.int64), centroids.shape[0]
+    )
     t = mark("ivf", t)
     return to_device(
         centroids=centroids,

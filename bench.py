@@ -54,6 +54,8 @@ def main() -> None:
         ivf_lengths, min(q_len * 8, ispec.n_partitions), 4096
     )
 
+    mem_budget = int(os.environ.get("BENCH_MEM_BUDGET", 1 << 30))
+
     def run(batch):
         return search_core(
             dev,
@@ -65,6 +67,7 @@ def main() -> None:
             n_full_scores=4096,
             want_tokens=False,
             cand_cap=cand_cap,
+            mem_budget=mem_budget,
         )
 
     # Big device-resident tiles with DIFFERENT queries per rep: amortizes

@@ -26,7 +26,11 @@ def main() -> None:
     import jax
 
     from fast_plaid_tpu import testing
-    from fast_plaid_tpu.search.engine import candidate_capacity, search_core
+    from fast_plaid_tpu.search.engine import (
+        candidate_capacity,
+        search_core,
+        suggest_query_tile,
+    )
 
     rng = np.random.default_rng(0)
     n_docs = int(os.environ.get("BENCH_N_DOCS", 25_000))
@@ -70,24 +74,23 @@ def main() -> None:
             mem_budget=mem_budget,
         )
 
-    # Big device-resident tiles with DIFFERENT queries per rep: amortizes
-    # dispatch/transfer latency the way a production server would while
-    # defeating any result caching (the reference similarly excludes JIT
-    # warmup and stages queries on-device, README.md:338).
+    # Big device-resident tiles (sized to HBM) with DIFFERENT queries per
+    # rep: amortizes dispatch/transfer latency the way a production server
+    # would while defeating any result caching (the reference similarly
+    # excludes JIT warmup and stages queries on-device, README.md:338).
+    tile_b = min(n_queries, suggest_query_tile(ispec, q_len, cand_cap))
     reps = 5
     tiles = [
-        jax.device_put(
-            testing.random_queries(rng, n_queries, q_len, dim)
-        )
+        jax.device_put(testing.random_queries(rng, tile_b, q_len, dim))
         for _ in range(reps)
     ]
-    jax.block_until_ready(run(jax.device_put(queries)))  # warmup / compile
+    jax.block_until_ready(run(jax.device_put(queries[:tile_b])))  # warmup
 
     t0 = time.perf_counter()
     outs = [run(t) for t in tiles]
     jax.block_until_ready(outs)
     elapsed = time.perf_counter() - t0
-    qps = (reps * n_queries) / elapsed
+    qps = (reps * tile_b) / elapsed
 
     print(
         json.dumps(
@@ -100,7 +103,7 @@ def main() -> None:
                     "index_build_s": round(build_s, 2),
                     "device": str(jax.devices()[0]),
                     "n_docs": n_docs,
-                    "batch": n_queries,
+                    "batch": tile_b,
                 },
             }
         )

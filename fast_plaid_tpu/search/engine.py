@@ -245,11 +245,15 @@ def candidates_impl(
         # occurs in of the query-token/cell score. Only the tiny [B, C, Q]
         # probe-score table is gathered — no per-token work.
         cells_safe = jnp.clip(cells, 0, kp - 1)
-        cell_scores = jnp.take_along_axis(
-            scores_qc.transpose(0, 2, 1),  # [B, kp, Q]
-            cells_safe[..., None],
-            axis=1,
-        ).astype(jnp.bfloat16)  # [B, C, Q]
+        # Gather along the kp axis directly ([B, Q, C]) so XLA never
+        # materializes a [B, kp, Q] transposed copy of the score tensor.
+        cell_scores = (
+            jnp.take_along_axis(
+                scores_qc, cells_safe[:, None, :], axis=2
+            )  # [B, Q, C]
+            .transpose(0, 2, 1)
+            .astype(jnp.bfloat16)
+        )  # [B, C, Q]
 
         # Per-slot score lookup as a one-hot MXU matmul: with C <= q*probe
         # cells the [B, jc, C] one-hot times [B, C, Q] einsum beats a
@@ -529,6 +533,22 @@ rerank_rows_core = jax.jit(
 token_matrices_core = jax.jit(token_matrices, static_argnames=("nbits",))
 
 final_topk_core = jax.jit(_final_topk, static_argnames=("top_k",))
+
+
+def suggest_query_tile(
+    ispec: IndexSpec,
+    q_cap: int,
+    cand_cap: int,
+    hbm_budget: int = 8 * 1024 * 1024 * 1024,
+    max_tile: int = 256,
+) -> int:
+    """Queries per device tile such that the cascade's per-query working
+    set (query-centroid scores + candidate buffers + slot scores with the
+    doubling double-buffer) fits the HBM budget."""
+    kp = ((max(ispec.n_partitions, 1) + 127) // 128) * 128
+    per_query = q_cap * kp * 8  # scores_qc f32 (+ fusion headroom)
+    per_query += cand_cap * (q_cap * 2 * 2 + 24)  # s_slot bf16 x2 + int bufs
+    return int(max(1, min(max_tile, hbm_budget // max(per_query, 1))))
 
 
 def candidate_capacity(

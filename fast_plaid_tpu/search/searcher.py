@@ -20,6 +20,7 @@ from fast_plaid_tpu.search.engine import (
     final_topk_core,
     rerank_rows_core,
     search_core,
+    suggest_query_tile,
     token_matrices_core,
 )
 from fast_plaid_tpu.search.load import LoadedIndex
@@ -241,15 +242,20 @@ def search_on_device(
         return []
     batch, q_lens = _pad_queries(queries, ispec.dim)
     nq, q_cap, _ = batch.shape
-    b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
-    if loaded.low_memory:
-        b_tile = min(b_tile, 8)  # bound the streamed row buffers
     cand_cap = None
     if loaded.ivf_lengths_host is not None:
         n_cells = min(q_cap * n_ivf_probe, ispec.n_partitions)
         cand_cap = candidate_capacity(
             loaded.ivf_lengths_host, n_cells, n_full_scores
         )
+    b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
+    if cand_cap is not None:
+        b_tile = min(
+            b_tile, suggest_query_tile(ispec, q_cap, cand_cap)
+        )
+    b_tile = max(1, min(b_tile, nq))
+    if loaded.low_memory:
+        b_tile = min(b_tile, 8)  # bound the streamed row buffers
 
     results: list = []
     iterator = range(0, nq, b_tile)

@@ -175,10 +175,7 @@ def evaluate(
             fn_name, k = _parse_metric(name)
             per_metric[name].append(_METRIC_FNS[fn_name](ranked, qrel, k))
 
-    out = {
+    return {
         name: (sum(vals) / len(vals) if vals else 0.0)
         for name, vals in per_metric.items()
     }
-    if len(metrics) == 1:
-        return out  # keep dict form for consistency
-    return out

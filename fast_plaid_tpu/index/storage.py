@@ -199,8 +199,11 @@ def get_merged_mmap(
                 with open(manifest_path, "w") as f:
                     json.dump({"chunks": state}, f)
                 return np.load(merged_path, mmap_mode="c")
-    except (OSError, ValueError):
-        pass  # corrupt cache -> full rewrite (load.py:182-183 does the same)
+    except Exception:
+        # Corrupt cache, or a numpy release changing the private header
+        # helpers _resize_npy_inplace uses -> full rewrite (the reference
+        # falls back the same way, load.py:182-183).
+        pass
 
     # Full rewrite.
     arrays = [

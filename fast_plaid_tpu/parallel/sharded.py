@@ -75,7 +75,9 @@ def build_sharded_index(
     bases = []
     k = centroids.shape[0]
     for si in range(n_shards):
-        d0, d1 = si * per, min((si + 1) * per, n_docs)
+        # Clamp both ends: with n_docs < n_shards*per the tail shards are
+        # empty and si*per can exceed n_docs.
+        d0, d1 = min(si * per, n_docs), min((si + 1) * per, n_docs)
         t0, t1 = int(token_starts[d0]), int(token_starts[d1])
         lens = doc_lengths[d0:d1]
         ivf, ivf_lengths = ivf_mod.build_ivf(codes[t0:t1], lens, k)
@@ -247,16 +249,23 @@ def query_sharded_search(
 ):
     """Replicated-index data parallelism: the query batch is mesh-sharded.
 
-    [B, Q, D] with B divisible by the mesh size; XLA partitions the whole
+    [B, Q, D] queries; batches not divisible by the mesh size are padded
+    with zero queries and trimmed from the result. XLA partitions the whole
     cascade along the batch dimension — the SPMD form of the reference's
     thread-per-GPU dispatch.
     """
     axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    q_np = np.asarray(queries, np.float32)
+    b = q_np.shape[0]
+    bp = -(-b // n) * n
+    if bp != b:
+        q_np = np.concatenate(
+            [q_np, np.zeros((bp - b, *q_np.shape[1:]), np.float32)]
+        )
     repl = NamedSharding(mesh, P())
     dev_repl = jax.tree.map(lambda x: jax.device_put(x, repl), dev)
-    q = jax.device_put(
-        jnp.asarray(queries, jnp.float32), NamedSharding(mesh, P(axis))
-    )
+    q = jax.device_put(jnp.asarray(q_np), NamedSharding(mesh, P(axis)))
     fn = jax.jit(
         partial(
             search_impl,
@@ -268,4 +277,5 @@ def query_sharded_search(
             mem_budget=mem_budget,
         )
     )
-    return fn(dev_repl, q, None)
+    pids, scores = fn(dev_repl, q, None)
+    return pids[:b], scores[:b]

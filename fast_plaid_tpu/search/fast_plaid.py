@@ -83,9 +83,6 @@ def resolve_devices(device: str | list[str] | None) -> list[jax.Device]:
             raise RuntimeError(msg)
         out.append(pool[int(idx) if idx else 0])
     # de-dup, preserving order
-    seen: dict[int, jax.Device] = {}
-    for d in out:
-        seen.setdefault(d.id * 131 + hash(d.platform) % 131, d)
     return list(dict.fromkeys(out))
 
 
@@ -398,6 +395,7 @@ class FastPlaid:
         n_ivf_probe: int,
         show_progress: bool,
         approx_mode: str = "cells",
+        max_tile: int | None = None,
     ) -> list:
         """Split the query batch across devices (fast_plaid.py:797-928)."""
         loaded = [indices[str(d)] for d in self.devices]
@@ -413,6 +411,7 @@ class FastPlaid:
                 mem_budget=self.mem_budget,
                 show_progress=show_progress,
                 approx_mode=approx_mode,
+                max_tile=max_tile,
             )
         n_dev = min(len(loaded), len(queries))
         per = math.ceil(len(queries) / n_dev)
@@ -439,6 +438,7 @@ class FastPlaid:
                     mem_budget=self.mem_budget,
                     show_progress=show_progress,
                     approx_mode=approx_mode,
+                    max_tile=max_tile,
                 )
                 for (ld, qs, ss) in chunks
                 if qs
@@ -451,7 +451,7 @@ class FastPlaid:
         self,
         queries_embeddings,
         top_k: int = 10,
-        batch_size: int = 2000,  # noqa: ARG002 - internal tiling is automatic
+        batch_size: int = 2000,
         n_full_scores: int = 4096,
         n_ivf_probe: int = 8,
         show_progress: bool = True,
@@ -461,6 +461,8 @@ class FastPlaid:
     ) -> list[list[tuple[int, float]]]:
         """Search the index; returns per query a list of (doc_id, score).
 
+        ``batch_size`` caps the per-device query tile (a memory hint, as in
+        the reference); the engine may pick a smaller tile automatically.
         approx_mode: "cells" (TPU-native cell-level pruning, default) or
         "tokens" (reference-parity token-level approximate scoring).
         """
@@ -475,13 +477,14 @@ class FastPlaid:
             n_ivf_probe=n_ivf_probe,
             show_progress=show_progress,
             approx_mode=approx_mode,
+            max_tile=batch_size,
         )
 
     def search_token_scores(
         self,
         queries_embeddings,
         top_k: int = 10,
-        batch_size: int = 2000,  # noqa: ARG002
+        batch_size: int = 2000,
         n_full_scores: int = 4096,
         n_ivf_probe: int = 8,
         show_progress: bool = True,
@@ -501,6 +504,7 @@ class FastPlaid:
             n_ivf_probe=n_ivf_probe,
             show_progress=show_progress,
             approx_mode=approx_mode,
+            max_tile=batch_size,
         )
 
     # ------------------------------------------------------------------
@@ -518,6 +522,18 @@ class FastPlaid:
             msg = "Index not loaded."
             raise RuntimeError(msg)
         pids = np.asarray(subset, dtype=np.int32)
+        n_docs = (
+            len(loaded.host_doc_lengths)
+            if loaded.low_memory
+            else loaded.ispec.n_docs
+        )
+        bad = pids[(pids < 0) | (pids >= n_docs)]
+        if bad.size:
+            msg = (
+                f"get_embeddings ids must be in [0, {n_docs}); got "
+                f"{bad[:8].tolist()}"
+            )
+            raise ValueError(msg)
         block = 256
         out: list[np.ndarray] = []
         for start in range(0, len(pids), block):

@@ -225,6 +225,7 @@ def search_on_device(
     mem_budget: int = 256 * 1024 * 1024,
     show_progress: bool = False,
     approx_mode: str = "cells",
+    max_tile: int | None = None,
 ) -> list:
     """Run the cascade for a list of queries on one device.
 
@@ -253,9 +254,16 @@ def search_on_device(
         b_tile = min(
             b_tile, suggest_query_tile(ispec, q_cap, cand_cap)
         )
-    b_tile = max(1, min(b_tile, nq))
+    if max_tile is not None:
+        b_tile = min(b_tile, max(1, int(max_tile)))  # user memory hint
     if loaded.low_memory:
-        b_tile = min(b_tile, 8)  # bound the streamed row buffers
+        # Bound the streamed rerank-row buffers (codes i32 + residuals u8 +
+        # valid u8 per token) by the memory budget instead of a fixed cap.
+        r_pool = max(n_full_scores // 2, 1)
+        pd = loaded.host_residuals.shape[1] if loaded.host_residuals is not None else ispec.dim // 2
+        per_q = r_pool * ispec.doc_cap * (pd + 5)
+        b_tile = min(b_tile, max(1, mem_budget // max(per_q, 1)))
+    b_tile = max(1, min(b_tile, nq))
 
     results: list = []
     iterator = range(0, nq, b_tile)

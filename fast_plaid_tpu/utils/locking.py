@@ -28,16 +28,30 @@ class FileLock:
         self.timeout = timeout
         self._fd: int | None = None
         self._count = 0
-        self._thread_lock = threading.RLock()
+        # Guards only the counter/fd (held briefly) — filelock-style shared
+        # count, so the lock is reentrant ACROSS threads of one process and
+        # a non-blocking acquire from another thread fails fast instead of
+        # waiting out a long-running update.
+        self._mutex = threading.Lock()
+        self._acquiring = False
 
     def acquire(self, timeout: float | None = None) -> None:
         timeout = self.timeout if timeout is None else timeout
         deadline = None if timeout < 0 else time.monotonic() + timeout
-        self._thread_lock.acquire()
+        while True:
+            with self._mutex:
+                if self._count > 0:
+                    self._count += 1
+                    return
+                if not self._acquiring:
+                    self._acquiring = True
+                    break
+            # Another thread is mid-flock: honor the timeout while waiting.
+            if deadline is not None and time.monotonic() >= deadline:
+                msg = f"Could not acquire lock on {self.path}"
+                raise Timeout(msg)
+            time.sleep(0.01)
         try:
-            if self._count > 0:
-                self._count += 1
-                return
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
             fd = os.open(self.path, os.O_RDWR | os.O_CREAT, 0o644)
             while True:
@@ -50,11 +64,12 @@ class FileLock:
                         msg = f"Could not acquire lock on {self.path}"
                         raise Timeout(msg) from None
                     time.sleep(0.05)
-            self._fd = fd
-            self._count = 1
-        except BaseException:
-            self._thread_lock.release()
-            raise
+            with self._mutex:
+                self._fd = fd
+                self._count = 1
+        finally:
+            with self._mutex:
+                self._acquiring = False
 
     @staticmethod
     def _flock(fd: int) -> None:
@@ -68,7 +83,7 @@ class FileLock:
             msvcrt.locking(fd, msvcrt.LK_NBLCK, 1)
 
     def release(self) -> None:
-        try:
+        with self._mutex:
             if self._count > 1:
                 self._count -= 1
                 return
@@ -84,8 +99,6 @@ class FileLock:
                 os.close(self._fd)
                 self._fd = None
             self._count = 0
-        finally:
-            self._thread_lock.release()
 
     @property
     def is_locked(self) -> bool:

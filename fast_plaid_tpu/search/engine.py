@@ -136,11 +136,17 @@ def candidates_impl(
     mem_budget: int = 256 * 1024 * 1024,
     cand_cap: int | None = None,
     approx_mode: str = "cells",
+    with_stats: bool = False,
 ) -> jax.Array:
     """Cascade stages 1-5: probe, candidate generation, approximate scoring,
     pruning. Returns the rerank set p2 [B, R] (sentinel_pid padding), sorted
     by descending approximate score. Does not touch ``dev.residuals`` — the
     low_memory path keeps those in host RAM and streams only these R rows.
+
+    With ``with_stats`` additionally returns dropped_slots [B] int32: the
+    number of candidate slots truncated by the ``cand_cap`` buffer. Probed
+    cells are laid out in descending probe-score order, so truncation drops
+    the *lowest*-scoring cells' candidates first.
 
     approx_mode selects the pruning estimator:
 
@@ -184,6 +190,18 @@ def candidates_impl(
     cells = jnp.where(top_cell_scores > NEG, cells, kp)  # kp = empty sentinel cell
     cells = cells.reshape(b, q * probe)
     cells = _dedup_sorted(jnp.sort(cells, axis=-1), kp)
+    # Order the deduped cells by descending probe score (max over query
+    # tokens) so that if the candidate buffer overflows, the truncated tail
+    # holds the least-promising cells — never an arbitrary high scorer.
+    cell_pri = jnp.max(
+        jnp.take_along_axis(
+            scores_qc, jnp.clip(cells, 0, kp - 1)[:, None, :], axis=2
+        ),
+        axis=1,
+    )  # [B, C]
+    cell_pri = jnp.where(cells == kp, NEG, cell_pri)
+    order = jnp.argsort(-cell_pri, axis=-1)
+    cells = jnp.take_along_axis(cells, order, axis=-1)
 
     # ---- 3. candidates: exactly-compacted segmented gather.
     # Instead of a [C, cell_cap] window per probed cell (max-cell padding
@@ -338,7 +356,11 @@ def candidates_impl(
     # -inf filler entries are duplicates/padding, never real candidates.
     p1 = jnp.where(jnp.isneginf(s1), sent_pid, p1)
     r = min(max(n_full_scores // pool_divisor, 1), k1)
-    return p1[:, :r]  # top_k output is already sorted desc
+    p2 = p1[:, :r]  # top_k output is already sorted desc
+    if with_stats:
+        dropped = jnp.maximum(total - cand_cap, 0).astype(jnp.int32)
+        return p2, dropped
+    return p2
 
 
 def rerank_rows(
@@ -430,17 +452,20 @@ def search_impl(
     mem_budget: int = 256 * 1024 * 1024,
     cand_cap: int | None = None,
     approx_mode: str = "cells",
+    with_stats: bool = False,
 ):
     """Batched PLAID cascade (traceable body — also used inside shard_map).
 
     Returns (pids [B, top_k] int32 with -1 padding, scores [B, top_k] f32
     with -inf padding) and, when ``want_tokens``, additionally
     (token_scores [B, top_k, doc_cap, Q] f32, doc_lens [B, top_k] int32).
+    With ``with_stats`` a final dropped_slots [B] int32 array is appended
+    (candidate-buffer overflow accounting).
     Requires a fully device-resident index (dev.residuals is not None).
     """
     doc_cap = ispec.doc_cap
     sent_pid = ispec.sentinel_pid
-    p2 = candidates_impl(
+    cand_out = candidates_impl(
         dev,
         queries,
         subset,
@@ -450,7 +475,9 @@ def search_impl(
         mem_budget=mem_budget,
         cand_cap=cand_cap,
         approx_mode=approx_mode,
+        with_stats=with_stats,
     )
+    p2, dropped = cand_out if with_stats else (cand_out, None)
 
     # Chunk over the rerank set with gathers INSIDE each chunk so the
     # [B, R, doc_cap, ...] token tensors never materialize in full.
@@ -480,7 +507,7 @@ def search_impl(
     fp, fs = _final_topk(exact, p2, top_k)
 
     if not want_tokens:
-        return fp, fs
+        return (fp, fs, dropped) if with_stats else (fp, fs)
 
     # Token-score matrices for the winners only (recomputed — far cheaper
     # than materializing [B, R, doc_cap, Q] for every rerank candidate).
@@ -496,6 +523,8 @@ def search_impl(
         nbits=ispec.nbits,
     )
     doc_lens = jnp.where(fp < 0, 0, dev.doc_lengths[safe])
+    if with_stats:
+        return fp, fs, tok, doc_lens, dropped
     return fp, fs, tok, doc_lens
 
 
@@ -510,6 +539,7 @@ search_core = jax.jit(
         "mem_budget",
         "cand_cap",
         "approx_mode",
+        "with_stats",
     ),
 )
 
@@ -522,6 +552,7 @@ candidates_core = jax.jit(
         "mem_budget",
         "cand_cap",
         "approx_mode",
+        "with_stats",
     ),
 )
 

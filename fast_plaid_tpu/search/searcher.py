@@ -25,7 +25,29 @@ from fast_plaid_tpu.search.engine import (
 )
 from fast_plaid_tpu.search.load import LoadedIndex
 
-__all__ = ["search_on_device", "normalize_queries", "normalize_subset"]
+__all__ = [
+    "search_on_device",
+    "normalize_queries",
+    "normalize_subset",
+    "last_search_stats",
+]
+
+# Per-call observability: candidate-buffer overflow accounting from the most
+# recent search_on_device call (keyed by thread id so the multi-device
+# ThreadPool dispatch doesn't interleave counters).
+_LAST_STATS: dict[int, dict] = {}
+
+
+def last_search_stats() -> dict:
+    """Stats from the most recent search on the calling thread:
+    {"dropped_candidate_slots": int, "queries": int}."""
+    import threading
+
+    return dict(
+        _LAST_STATS.get(
+            threading.get_ident(), {"dropped_candidate_slots": 0, "queries": 0}
+        )
+    )
 
 
 def normalize_queries(queries_embeddings) -> list[np.ndarray]:
@@ -163,7 +185,7 @@ def _search_tile_low_memory(
 ):
     """Two-phase cascade: device candidates -> host row stream -> device rerank."""
     ispec = loaded.ispec
-    p2 = candidates_core(
+    p2, dropped = candidates_core(
         loaded.dev,
         tile_dev,
         sub_dev,
@@ -173,6 +195,7 @@ def _search_tile_low_memory(
         mem_budget=mem_budget,
         cand_cap=cand_cap,
         approx_mode=approx_mode,
+        with_stats=True,
     )
     p2_np = np.asarray(p2)
     codes_rows, res_rows, tok_valid = host_gather_rows(loaded, p2_np)
@@ -191,7 +214,7 @@ def _search_tile_low_memory(
     )
     fp, fs = final_topk_core(exact, p2, top_k=top_k)
     if not want_tokens:
-        return fp, fs
+        return fp, fs, dropped
     fp_np = np.asarray(fp)
     safe = np.where(fp_np < 0, ispec.sentinel_pid, fp_np)
     codes_k, res_k, valid_k = host_gather_rows(loaded, safe)
@@ -210,7 +233,7 @@ def _search_tile_low_memory(
         0,
         loaded.host_doc_lengths[np.clip(fp_np, 0, n_docs - 1)],
     )
-    return fp, fs, tok, doc_lens
+    return fp, fs, tok, doc_lens, dropped
 
 
 def search_on_device(
@@ -266,6 +289,7 @@ def search_on_device(
     b_tile = max(1, min(b_tile, nq))
 
     results: list = []
+    dropped_total = 0
     iterator = range(0, nq, b_tile)
     if show_progress and nq > b_tile:
         try:
@@ -319,12 +343,14 @@ def search_on_device(
                 mem_budget=mem_budget,
                 cand_cap=cand_cap,
                 approx_mode=approx_mode,
+                with_stats=True,
             )
         if want_tokens:
-            pids, scores, tok, doc_lens = (np.asarray(x) for x in out)
+            pids, scores, tok, doc_lens, dropped = (np.asarray(x) for x in out)
         else:
-            pids, scores = (np.asarray(x) for x in out)
+            pids, scores, dropped = (np.asarray(x) for x in out)
             tok = doc_lens = None
+        dropped_total += int(dropped[: end - start].sum())
 
         for bi in range(end - start):
             qlen = q_lens[start + bi]
@@ -341,4 +367,22 @@ def search_on_device(
                 else:
                     row.append((pid, score))
             results.append(row)
+
+    import threading
+
+    _LAST_STATS[threading.get_ident()] = {
+        "dropped_candidate_slots": dropped_total,
+        "queries": nq,
+    }
+    if dropped_total:
+        import warnings
+
+        warnings.warn(
+            f"candidate buffer overflow: {dropped_total} candidate slots "
+            f"(lowest-probe-score cells) truncated across {nq} queries; "
+            "raise mem_budget or n_full_scores if recall matters more "
+            "than memory",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return results

@@ -7,10 +7,10 @@ update.rs:81-109) or append fresh chunks, optionally refresh the
 cluster threshold as a count-weighted average of old and new 0.75-quantile
 residual norms (update.rs:278-299), and rebuild the IVF + metadata.
 
-Difference by design: the reference splices new pids into the flat IVF in
-place (update.rs:317-444) to avoid a rebuild; here the IVF rebuild is one
-vectorized numpy dedup (index/ivf.py) which is simpler and fast enough —
-revisit with the native C++ path if profiling says otherwise.
+Like the reference, the IVF is spliced in place (update.rs:317-444): new
+pids are bucketed per partition and appended to each cell's list without
+reloading any old chunk — update cost is O(new docs + |ivf|), independent
+of corpus size.
 """
 
 from __future__ import annotations
@@ -143,19 +143,39 @@ def update_index(
         docs_cursor += len(chunk_docs)
         tokens_cursor += chunk_tokens
 
-    # Rebuild IVF over the full corpus (vectorized dedup).
+    # Splice new pids into the existing IVF (no full rebuild; the
+    # reference does the same in update.rs:317-444). Falls back to a full
+    # rebuild only if the IVF files are missing or stale in partition count
+    # (e.g. centroid expansion zero-extended ivf_lengths on disk already).
     if not meta.get("compress_only", False):
-        all_codes, all_doclens = [], []
-        for i in range(num_chunks):
-            c, _, d = _load_chunk(index_path, i)
-            all_codes.append(np.asarray(c, dtype=np.int32))
-            all_doclens.extend(d)
-        codes_flat = np.concatenate(all_codes)
-        ivf, ivf_lengths = ivf_mod.build_ivf(
-            codes_flat, np.asarray(all_doclens, np.int64), centroids.shape[0]
-        )
-        np.save(os.path.join(index_path, "ivf.npy"), ivf)
-        np.save(os.path.join(index_path, "ivf_lengths.npy"), ivf_lengths)
+        ivf_path = os.path.join(index_path, "ivf.npy")
+        len_path = os.path.join(index_path, "ivf_lengths.npy")
+        old_ivf = old_lengths = None
+        if os.path.exists(ivf_path) and os.path.exists(len_path):
+            old_ivf = np.load(ivf_path).astype(np.int32, copy=False)
+            old_lengths = np.load(len_path).astype(np.int64, copy=False)
+            if old_lengths.shape[0] != centroids.shape[0]:
+                old_ivf = old_lengths = None
+        if old_ivf is not None:
+            ivf, ivf_lengths = ivf_mod.splice_ivf(
+                old_ivf,
+                old_lengths,
+                new_codes,
+                np.asarray(new_doclens, np.int64),
+                pid_base=int(meta["num_documents"]),
+            )
+        else:
+            all_codes, all_doclens = [], []
+            for i in range(num_chunks):
+                c, _, d = _load_chunk(index_path, i)
+                all_codes.append(np.asarray(c, dtype=np.int32))
+                all_doclens.extend(d)
+            codes_flat = np.concatenate(all_codes)
+            ivf, ivf_lengths = ivf_mod.build_ivf(
+                codes_flat, np.asarray(all_doclens, np.int64), centroids.shape[0]
+            )
+        np.save(ivf_path, ivf)
+        np.save(len_path, ivf_lengths)
 
     n_new_docs = len(new_doclens)
     n_new_tokens = int(new_codes.shape[0])

@@ -148,3 +148,48 @@ class TestDelete:
         eng.delete(subset=[0])
         meta = storage.load_metadata(test_index_path)
         assert meta["num_documents"] == 17
+
+
+class TestIvfSplice:
+    """Incremental IVF splice must equal a from-scratch rebuild."""
+
+    def test_splice_matches_rebuild(self):
+        import numpy as np
+
+        from fast_plaid_tpu.index import ivf as ivf_mod
+
+        rng = np.random.default_rng(5)
+        k = 37
+        old_codes = rng.integers(0, k, 400).astype(np.int32)
+        old_lens = rng.integers(3, 9, 60).astype(np.int64)
+        old_lens[-1] += 400 - old_lens.sum()  # make lengths consistent
+        assert old_lens.sum() == 400 and (old_lens > 0).all()
+        new_codes = rng.integers(0, k, 150).astype(np.int32)
+        new_lens = rng.integers(3, 9, 22).astype(np.int64)
+        new_lens[-1] += 150 - new_lens.sum()
+        assert new_lens.sum() == 150 and (new_lens > 0).all()
+
+        old_ivf, old_l = ivf_mod.build_ivf(old_codes, old_lens, k)
+        spliced, spliced_l = ivf_mod.splice_ivf(
+            old_ivf, old_l, new_codes, new_lens, pid_base=len(old_lens)
+        )
+        full, full_l = ivf_mod.build_ivf(
+            np.concatenate([old_codes, new_codes]),
+            np.concatenate([old_lens, new_lens]),
+            k,
+        )
+        assert (spliced_l == full_l).all()
+        assert (spliced == full).all()
+
+    def test_splice_empty_new(self):
+        import numpy as np
+
+        from fast_plaid_tpu.index import ivf as ivf_mod
+
+        old_ivf, old_l = ivf_mod.build_ivf(
+            np.array([0, 1, 2, 1], np.int32), np.array([2, 2], np.int64), 4
+        )
+        s, sl = ivf_mod.splice_ivf(
+            old_ivf, old_l, np.zeros((0,), np.int32), np.zeros((0,), np.int64), 2
+        )
+        assert (s == old_ivf).all() and (sl == old_l).all()

@@ -1,0 +1,126 @@
+"""Retrieval-quality parity harness: PLAID cascade vs exact search.
+
+Hermetic (no network) analog of the reference's BEIR benchmark
+(/root/reference/docs/benchmark/benchmark.py): generates a topic-model
+corpus with ColBERT-like statistics, takes exhaustive MaxSim as ground
+truth, and reports nDCG@10 / recall@k of
+
+  * ``exact_decompressed`` — exhaustive MaxSim over the *compressed-then-
+    decompressed* embeddings (isolates quantization loss), and
+  * ``cascade_default`` — the full PLAID cascade at default parameters
+    (adds candidate-generation/pruning loss on top).
+
+The parity claim mirroring the reference's "FastPlaid == PLAID nDCG"
+columns (README.md:306-338) is cascade ≈ exact_decompressed to ≤0.01
+nDCG@10: approximate search costs nothing over exact search on the same
+compressed representation.
+
+Usage:  python docs/benchmark/quality_parity.py [--docs 5000] [--queries 200]
+Writes docs/benchmark/results/quality_parity.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def run(n_docs: int, n_queries: int, dim: int, seed: int, device: str | None):
+    from fast_plaid_tpu.evaluation import evaluate
+    from fast_plaid_tpu.evaluation.synthetic import (
+        exact_maxsim_topk,
+        topic_corpus,
+        truth_qrels,
+    )
+    from fast_plaid_tpu.search import FastPlaid
+
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    docs, queries, _ = topic_corpus(rng, n_docs, n_queries, dim=dim)
+    print(f"# corpus: {n_docs} docs / {n_queries} queries "
+          f"({time.perf_counter() - t0:.1f}s)")
+
+    t0 = time.perf_counter()
+    truth = exact_maxsim_topk(docs, queries, top_k=100)
+    qids, qrels = truth_qrels(truth, depth=10)
+    print(f"# exact truth on raw embeddings ({time.perf_counter() - t0:.1f}s)")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        engine = FastPlaid(index=os.path.join(tmp, "idx"), device=device)
+        t0 = time.perf_counter()
+        engine.create(documents_embeddings=docs, show_progress=False)
+        build_s = time.perf_counter() - t0
+
+        # Exact search over the same compressed representation: exhaustive
+        # MaxSim on the decompressed embeddings (no candidate generation).
+        t0 = time.perf_counter()
+        recon = engine.get_embeddings(list(range(n_docs)))
+        exact_dec = exact_maxsim_topk(recon, queries, top_k=100)
+        exact_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        cascade = engine.search(queries, top_k=100, show_progress=False)
+        cascade_s = time.perf_counter() - t0
+
+    metrics = ["ndcg@10", "recall@10", "recall@100", "mrr@10"]
+
+    def score(rows):
+        fmt = [
+            [{"id": str(p), "score": s} for p, s in row] for row in rows
+        ]
+        return evaluate(fmt, qrels, qids, metrics=metrics)
+
+    out = {
+        "corpus": {
+            "n_docs": n_docs,
+            "n_queries": n_queries,
+            "dim": dim,
+            "seed": seed,
+            "generator": "evaluation.synthetic.topic_corpus",
+        },
+        "truth": "exhaustive MaxSim on raw embeddings, qrels = top-10",
+        "exact_decompressed": score(exact_dec),
+        "cascade_default": score(cascade),
+        "timing_s": {
+            "index_build": round(build_s, 2),
+            "exact_decompressed_search": round(exact_s, 2),
+            "cascade_search": round(cascade_s, 2),
+        },
+    }
+    out["parity"] = {
+        "ndcg10_gap_cascade_vs_exact_decompressed": round(
+            out["exact_decompressed"]["ndcg@10"]
+            - out["cascade_default"]["ndcg@10"],
+            4,
+        ),
+        "target": "<= 0.01",
+    }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=5000)
+    ap.add_argument("--queries", type=int, default=200)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--device", default=None)
+    args = ap.parse_args()
+    out = run(args.docs, args.queries, args.dim, args.seed, args.device)
+    os.makedirs(os.path.join(os.path.dirname(__file__), "results"), exist_ok=True)
+    path = os.path.join(
+        os.path.dirname(__file__), "results", "quality_parity.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    print(f"# written to {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Structured synthetic corpora for retrieval-quality evaluation.
+
+Zero-network stand-in for BEIR-style data: a topic-model corpus whose
+statistics mimic ColBERT embedding sets (unit-norm token vectors clustered
+around document topics, Zipf topic popularity, variable document lengths,
+queries drawn from a target document's topics with extra noise). Unlike
+i.i.d. Gaussian tokens, scores between related/unrelated documents are
+well separated, so nDCG against an exact-search truth is a meaningful
+measure of the approximation loss of the PLAID cascade (the quantity the
+reference's BEIR table tracks per dataset, reference README.md:306-338 —
+those runs need network + GPU encoders; this one is hermetic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["topic_corpus", "exact_maxsim_topk", "truth_qrels"]
+
+
+def _unit(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def topic_corpus(
+    rng: np.random.Generator,
+    n_docs: int,
+    n_queries: int,
+    dim: int = 128,
+    n_topics: int | None = None,
+    mean_len: int = 120,
+    max_len: int = 360,
+    q_len: int = 32,
+    topic_weight: float = 0.82,
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
+    """Generate (documents, queries [Nq, q_len, dim], query_targets [Nq]).
+
+    Each document mixes 1-3 Zipf-popular topics; token = normalized
+    (topic_weight * topic + (1 - topic_weight) * noise). Query i is drawn
+    from document query_targets[i]'s topics with extra noise, so related
+    documents (sharing topics) score high and unrelated ones low — the
+    ranking problem has actual structure.
+    """
+    if n_topics is None:
+        n_topics = max(64, n_docs // 32)
+    topics = _unit(rng.standard_normal((n_topics, dim)).astype(np.float32))
+
+    # Zipf topic popularity.
+    pop = 1.0 / np.arange(1, n_topics + 1) ** 1.1
+    pop /= pop.sum()
+
+    lengths = np.clip(
+        rng.lognormal(np.log(mean_len), 0.45, n_docs).astype(np.int64),
+        8,
+        max_len,
+    )
+    doc_topics = []
+    docs = []
+    for i in range(n_docs):
+        k = int(rng.integers(1, 4))
+        tids = rng.choice(n_topics, size=k, replace=False, p=pop)
+        doc_topics.append(tids)
+        tok_topic = tids[rng.integers(0, k, lengths[i])]
+        noise = rng.standard_normal((lengths[i], dim)).astype(np.float32)
+        tok = topic_weight * topics[tok_topic] + (1 - topic_weight) * noise
+        docs.append(_unit(tok))
+
+    targets = rng.integers(0, n_docs, n_queries)
+    queries = np.empty((n_queries, q_len, dim), np.float32)
+    for qi, t in enumerate(targets):
+        tids = doc_topics[t]
+        tok_topic = tids[rng.integers(0, len(tids), q_len)]
+        noise = rng.standard_normal((q_len, dim)).astype(np.float32)
+        queries[qi] = _unit(
+            topic_weight * topics[tok_topic] + (1 - topic_weight) * 1.3 * noise
+        )
+    return docs, queries, targets
+
+
+def exact_maxsim_topk(
+    documents: list[np.ndarray], queries: np.ndarray, top_k: int
+) -> list[list[tuple[int, float]]]:
+    """Exhaustive MaxSim ranking (the ground truth an ANN engine chases).
+
+    Computed in blocked numpy on the host; fine up to ~10^4 docs.
+    """
+    flat = np.concatenate(documents, axis=0)
+    lens = np.asarray([d.shape[0] for d in documents])
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    out = []
+    for q in queries:  # [Lq, D]
+        sims = flat @ q.T  # [T, Lq]
+        scores = np.empty(len(documents), np.float32)
+        for i in range(len(documents)):
+            scores[i] = sims[starts[i] : starts[i + 1]].max(axis=0).sum()
+        top = np.argsort(-scores)[:top_k]
+        out.append([(int(p), float(scores[p])) for p in top])
+    return out
+
+
+def truth_qrels(
+    truth: list[list[tuple[int, float]]], depth: int = 10
+) -> tuple[list[str], dict]:
+    """Binary qrels from an exact-search truth ranking (top-``depth`` docs).
+
+    Returns (query_ids, qrels) in the shapes evaluation.evaluate expects.
+    nDCG@10 of the exact ranking itself is 1.0 by construction; an ANN
+    run's nDCG@10 measures its agreement with exact search.
+    """
+    qids = [f"q{i}" for i in range(len(truth))]
+    qrels = {
+        qid: {str(pid): 1 for pid, _ in row[:depth]}
+        for qid, row in zip(qids, truth)
+    }
+    return qids, qrels

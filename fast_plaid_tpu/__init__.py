@@ -18,7 +18,38 @@ Public surface (mirrors the reference package layout,
     engine.search(queries_embeddings=...)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _enable_compile_cache() -> None:
+    """Point JAX at a persistent compilation cache (opt-out via env).
+
+    Index builds jit a handful of large programs (k-means scan, compress
+    pipeline, search cascade); on hosts where XLA compiles are expensive
+    (e.g. remote-compile TPU services) the cache turns repeat builds from
+    minutes into seconds. A user-set JAX_COMPILATION_CACHE_DIR wins;
+    FASTPLAID_TPU_NO_COMPILE_CACHE=1 disables entirely.
+    """
+    import os
+
+    if os.environ.get("FASTPLAID_TPU_NO_COMPILE_CACHE"):
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already configured it; jax reads the env itself
+    try:
+        import jax
+
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "fast_plaid_tpu", "xla"
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
 
 from fast_plaid_tpu import evaluation, filtering, search  # noqa: E402,F401
 

@@ -44,6 +44,11 @@ class DeviceIndex(NamedTuple):
     ivf: jax.Array  # [Ip] int32 (pids, grouped by cell)
     ivf_offsets: jax.Array  # [Kp + 8] int32
     ivf_lengths: jax.Array  # [Kp + 8] int32 (0 beyond K)
+    # Optional decompressed-corpus cache [Np, doc_cap, D] bf16 (normalized
+    # embeddings). Trades HBM for rerank speed: the dominant rerank cost is
+    # the per-candidate dequant select-sum (VPU-bound); with the cache the
+    # rerank is gather+MXU only. Built when the corpus fits the HBM budget.
+    emb_cache: jax.Array | None = None
 
 
 @dataclass(frozen=True)
@@ -177,3 +182,56 @@ def to_device(
         has_ivf=has_ivf,
     )
     return dev, spec
+
+
+def emb_cache_bytes(ispec: IndexSpec) -> int:
+    """HBM cost of the decompressed-corpus cache for this index."""
+    np_docs = round_up(ispec.n_docs + 1, 8)
+    return np_docs * ispec.doc_cap * ispec.dim * 2
+
+
+def build_emb_cache(
+    dev: DeviceIndex, ispec: IndexSpec, block: int = 2048
+) -> DeviceIndex:
+    """Decompress the whole corpus once into a bf16 HBM cache.
+
+    One pass of the same dequant the rerank would otherwise run per
+    (query, candidate); afterwards stage 6 is pure gather + MXU matmul.
+    Requires device-resident residuals.
+    """
+    import functools
+
+    from fast_plaid_tpu.ops import codec as codec_ops
+
+    if dev.residuals is None or dev.emb_cache is not None:
+        return dev
+
+    @functools.partial(jax.jit, static_argnames=("nbits", "block"))
+    def _decompress_corpus(codes, residuals, centroids, bucket_weights, *, nbits, block):
+        n = codes.shape[0]
+        nb = -(-n // block)
+        pad = nb * block - n
+        cp = jnp.pad(codes, ((0, pad), (0, 0)))
+        rp = jnp.pad(residuals, ((0, pad), (0, 0), (0, 0)))
+        bc = cp.reshape(nb, block, *codes.shape[1:])
+        br = rp.reshape(nb, block, *residuals.shape[1:])
+
+        def one(args):
+            cc, rr = args
+            return codec_ops.decompress(
+                cc, rr, centroids, bucket_weights, nbits,
+                out_dtype=jnp.bfloat16,
+            )
+
+        out = jax.lax.map(one, (bc, br))
+        return out.reshape(nb * block, *out.shape[2:])[:n]
+
+    cache = _decompress_corpus(
+        dev.codes,
+        dev.residuals,
+        dev.centroids,
+        dev.bucket_weights,
+        nbits=ispec.nbits,
+        block=min(block, dev.codes.shape[0]),
+    )
+    return dev._replace(emb_cache=cache)

@@ -111,12 +111,16 @@ class FastPlaid:
         device: str | list[str] | None = None,
         low_memory: bool = True,
         mem_budget_bytes: int = 256 * 1024 * 1024,
+        emb_cache_budget_bytes: int | None = None,
         **kwargs: Any,  # noqa: ARG002 - parity with the reference signature
     ) -> None:
         self.index = index
         self.devices = resolve_devices(device)
         self.low_memory = low_memory
         self.mem_budget = int(mem_budget_bytes)
+        # HBM budget for the decompressed-corpus rerank cache; None picks
+        # the platform default (on for accelerators, off on CPU).
+        self.emb_cache_budget = emb_cache_budget_bytes
 
         os.makedirs(self.index, exist_ok=True)
         self.lock_path = os.path.join(self.index, "plaid.lock")
@@ -168,7 +172,10 @@ class FastPlaid:
             if current == self._last_known_mtime and self.indices:
                 return False
             new_indices = reload_index(
-                self.index, self.devices, low_memory=self.low_memory
+                self.index,
+                self.devices,
+                low_memory=self.low_memory,
+                emb_cache_budget=self.emb_cache_budget,
             )
             with self._index_swap_lock:
                 self.indices = new_indices
@@ -179,7 +186,10 @@ class FastPlaid:
 
     def _reload_and_swap(self) -> None:
         new_indices = reload_index(
-            self.index, self.devices, low_memory=self.low_memory
+            self.index,
+            self.devices,
+            low_memory=self.low_memory,
+            emb_cache_budget=self.emb_cache_budget,
         )
         with self._index_swap_lock:
             self.indices = new_indices

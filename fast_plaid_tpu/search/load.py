@@ -20,10 +20,16 @@ import numpy as np
 
 import jax
 
-from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec, to_device
+from fast_plaid_tpu.index.layout import (
+    DeviceIndex,
+    IndexSpec,
+    build_emb_cache,
+    emb_cache_bytes,
+    to_device,
+)
 from fast_plaid_tpu.index.storage import load_index_data
 
-__all__ = ["reload_index", "LoadedIndex"]
+__all__ = ["reload_index", "LoadedIndex", "default_emb_cache_budget"]
 
 
 class LoadedIndex:
@@ -53,7 +59,27 @@ class LoadedIndex:
         self.host_doc_lengths = host_doc_lengths
 
 
-def _construct(data, device: jax.Device, low_memory: bool) -> LoadedIndex:
+def default_emb_cache_budget(device: jax.Device) -> int:
+    """Platform default for the decompressed-corpus HBM cache.
+
+    Accelerators trade HBM for rerank speed by default (the dequant
+    select-sum otherwise dominates stage 6); on CPU hosts memory is the
+    scarcer resource, so the cache is opt-in.
+    """
+    import os
+
+    env = os.environ.get("FASTPLAID_TPU_EMB_CACHE_BYTES")
+    if env is not None:
+        return int(env)
+    return 4 * 1024 * 1024 * 1024 if device.platform != "cpu" else 0
+
+
+def _construct(
+    data,
+    device: jax.Device,
+    low_memory: bool,
+    emb_cache_budget: int | None = None,
+) -> LoadedIndex:
     dev, ispec = to_device(
         centroids=data.centroids,
         bucket_weights=data.bucket_weights,
@@ -66,6 +92,14 @@ def _construct(data, device: jax.Device, low_memory: bool) -> LoadedIndex:
         device=device,
         residuals_on_device=not low_memory,
     )
+    if not low_memory:
+        budget = (
+            default_emb_cache_budget(device)
+            if emb_cache_budget is None
+            else emb_cache_budget
+        )
+        if 0 < emb_cache_bytes(ispec) <= budget:
+            dev = build_emb_cache(dev, ispec)
     host_kwargs = {}
     if low_memory:
         doc_lengths = np.asarray(data.doc_lengths, np.int64)
@@ -91,7 +125,10 @@ def _construct(data, device: jax.Device, low_memory: bool) -> LoadedIndex:
 
 
 def reload_index(
-    index_path: str, devices: list[jax.Device], low_memory: bool = False
+    index_path: str,
+    devices: list[jax.Device],
+    low_memory: bool = False,
+    emb_cache_budget: int | None = None,
 ) -> dict[str, LoadedIndex | None]:
     """Load the index for each device; returns {device_str: LoadedIndex|None}.
 
@@ -103,7 +140,12 @@ def reload_index(
         return {str(d): None for d in devices}
 
     def construct(d: jax.Device) -> LoadedIndex:
-        return _construct(data, d, low_memory and d.platform != "cpu")
+        return _construct(
+            data,
+            d,
+            low_memory and d.platform != "cpu",
+            emb_cache_budget=emb_cache_budget,
+        )
 
     out: dict[str, LoadedIndex | None] = {}
     if len(devices) == 1:

@@ -10,7 +10,12 @@ from fast_plaid_tpu.index.builder import (
     compress_tokens,
     train_codec_from_documents,
 )
-from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec, to_device
+from fast_plaid_tpu.index.layout import (
+    DeviceIndex,
+    IndexSpec,
+    build_emb_cache,
+    to_device,
+)
 from fast_plaid_tpu.ops import codec as codec_ops
 from fast_plaid_tpu.ops.kmeans import num_partitions_heuristic, train_kmeans
 
@@ -72,6 +77,7 @@ def build_memory_index(
     kmeans_niters: int = 4,
     device=None,
     verbose: bool = False,
+    emb_cache: bool = False,
 ) -> tuple[DeviceIndex, IndexSpec]:
     """Full index build pipeline -> device arrays, skipping persistence."""
     import time
@@ -97,7 +103,7 @@ def build_memory_index(
     doc_lengths = np.asarray([d.shape[0] for d in documents], np.int64)
     ivf, ivf_lengths = ivf_mod.build_ivf(codes, doc_lengths, centroids.shape[0])
     t = mark("ivf", t)
-    return to_device(
+    dev, ispec = to_device(
         centroids=centroids,
         bucket_weights=params.bucket_weights,
         codes=codes,
@@ -108,6 +114,9 @@ def build_memory_index(
         nbits=nbits,
         device=device,
     )
+    if emb_cache:
+        dev = build_emb_cache(dev, ispec)
+    return dev, ispec
 
 
 def build_memory_index_flat(
@@ -119,6 +128,7 @@ def build_memory_index_flat(
     kmeans_niters: int = 4,
     device=None,
     verbose: bool = False,
+    emb_cache: bool = False,
 ) -> tuple[DeviceIndex, IndexSpec]:
     """Memory-lean build from a flat token array (large-corpus benches).
 
@@ -159,7 +169,7 @@ def build_memory_index_flat(
         codes, np.asarray(doc_lengths, np.int64), centroids.shape[0]
     )
     t = mark("ivf", t)
-    return to_device(
+    dev, ispec = to_device(
         centroids=centroids,
         bucket_weights=params.bucket_weights,
         codes=codes,
@@ -170,3 +180,7 @@ def build_memory_index_flat(
         nbits=nbits,
         device=device,
     )
+    if emb_cache:
+        dev = build_emb_cache(dev, ispec)
+        t = mark("emb_cache", t)
+    return dev, ispec

@@ -19,6 +19,7 @@ document (pid == n_docs, length 0) absorbs invalid candidate slots.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import NamedTuple
 
@@ -26,11 +27,34 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DeviceIndex", "IndexSpec", "to_device", "round_up"]
+__all__ = [
+    "DeviceIndex",
+    "DocBucket",
+    "IndexSpec",
+    "to_device",
+    "round_up",
+    "plan_buckets",
+]
 
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+class DocBucket(NamedTuple):
+    """Doc-major token rows for one length bucket (a JAX pytree).
+
+    The TPU analog of StridedTensor's quantile strides (reference:
+    rust/search/tensor.rs:154-191): documents whose length falls in this
+    bucket are stored padded to the bucket cap instead of the corpus max,
+    so rerank gather bytes and MaxSim FLOPs scale with the length
+    *distribution*, not the longest document. The final row of each array
+    is all-zeros and absorbs sentinel/padding lookups.
+    """
+
+    codes: jax.Array  # [Nb + 1, cap_b] int32
+    residuals: jax.Array | None  # [Nb + 1, cap_b, PD] uint8
+    emb: jax.Array | None = None  # [Nb + 1, cap_b, D] bf16 cache
 
 
 class DeviceIndex(NamedTuple):
@@ -49,6 +73,12 @@ class DeviceIndex(NamedTuple):
     # the per-candidate dequant select-sum (VPU-bound); with the cache the
     # rerank is gather+MXU only. Built when the corpus fits the HBM budget.
     emb_cache: jax.Array | None = None
+    # Length-bucketed rerank layout (ispec.bucket_caps non-empty when set):
+    # residuals/emb live per bucket at the bucket cap; ``residuals`` /
+    # ``emb_cache`` above are then None.
+    doc_bucket: jax.Array | None = None  # [Np] int32 bucket id per pid
+    doc_bucket_row: jax.Array | None = None  # [Np] int32 row within bucket
+    buckets: tuple[DocBucket, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -62,10 +92,56 @@ class IndexSpec:
     doc_cap: int  # static per-document token window
     cell_cap: int  # static per-IVF-cell window
     has_ivf: bool
+    # Length-bucket plan (empty = single doc_cap layout). caps ascend and
+    # end at doc_cap; counts are real-document counts per bucket and drive
+    # the static rerank quotas (engine._bucket_quota).
+    bucket_caps: tuple[int, ...] = ()
+    bucket_counts: tuple[int, ...] = ()
 
     @property
     def sentinel_pid(self) -> int:
         return self.n_docs
+
+
+def plan_buckets(
+    doc_lengths: np.ndarray,
+    doc_cap: int,
+    max_buckets: int = 4,
+    min_gain: float = 1.4,
+) -> list[int] | None:
+    """Choose length-bucket caps from the corpus length distribution.
+
+    Candidate caps sit at length quantiles (the reference StridedTensor
+    uses .5/.75/.9/.95 quantile strides, tensor.rs:163-177); caps too close
+    to the next larger one are merged. Returns ascending caps ending at
+    ``doc_cap``, or None when one bucket is within ``min_gain`` of optimal
+    (uniform corpora shouldn't pay the multi-pass overhead).
+    """
+    lens = np.minimum(np.asarray(doc_lengths, np.int64), doc_cap)
+    if lens.size == 0 or max_buckets <= 1:
+        return None
+    qs = np.linspace(0.5, 1.0, num=max_buckets)
+    caps = sorted(
+        {
+            min(int(round_up(max(int(np.quantile(lens, q)), 1), 16)), doc_cap)
+            for q in qs
+        }
+    )
+    caps[-1] = doc_cap
+    # Merge caps that don't save meaningfully vs the next larger cap.
+    kept = [caps[-1]]
+    for c in reversed(caps[:-1]):
+        if c <= kept[-1] * 0.7:
+            kept.append(c)
+    caps = sorted(kept)
+    if len(caps) == 1:
+        return None
+    which = np.searchsorted(caps, lens, side="left")
+    padded = sum(
+        int((which == i).sum()) * c for i, c in enumerate(caps)
+    )
+    gain = (lens.size * doc_cap) / max(padded, 1)
+    return caps if gain >= min_gain else None
 
 
 def to_device(
@@ -84,12 +160,19 @@ def to_device(
     pad_docs_to: int | None = None,
     pad_ivf_to: int | None = None,
     residuals_on_device: bool = True,
+    length_buckets: int = 0,
 ) -> tuple[DeviceIndex, IndexSpec]:
     """Pad host arrays (token-major flats) into the doc-major device layout.
 
     The ``pad_*``/``*_cap`` overrides force common static shapes across
     shards of a mesh-sharded index (parallel/sharded.py); padding documents
     are addressable but zero-length, so they can never become candidates.
+
+    ``length_buckets > 1`` enables the length-bucketed rerank layout (up to
+    that many buckets, chosen by ``plan_buckets``): residuals are stored per
+    length bucket at the bucket cap instead of one [Np, doc_cap, PD] array,
+    so rerank cost tracks the length distribution rather than the longest
+    document. Applied only when the corpus is skewed enough to pay off.
     """
     k, dim = centroids.shape
     n_real_docs = int(len(doc_lengths))
@@ -121,10 +204,44 @@ def to_device(
         )
         keep = within < doc_cap
         dst = doc_ids[keep] * doc_cap + within[keep]
-        codes2d.reshape(-1)[dst] = np.asarray(codes, np.int32)[keep]
+        codes_np = np.asarray(codes, np.int32)
+        codes2d.reshape(-1)[dst] = codes_np[keep]
     lengths[:n_real_docs] = clipped.astype(np.int32)
 
-    if residuals_on_device:
+    caps = (
+        plan_buckets(clipped, doc_cap, max_buckets=length_buckets)
+        if (length_buckets > 1 and residuals_on_device and n_real_docs)
+        else None
+    )
+    host_buckets: list[tuple[np.ndarray, np.ndarray]] = []
+    bucket_counts: list[int] = []
+    doc_bucket = doc_bucket_row = None
+    if caps:
+        res_np = np.asarray(residuals)
+        which = np.searchsorted(caps, clipped, side="left")  # [n_real]
+        row_in_bucket = np.zeros((n_real_docs,), np.int64)
+        for i in range(len(caps)):
+            m = which == i
+            bucket_counts.append(int(m.sum()))
+            row_in_bucket[m] = np.arange(bucket_counts[-1])
+        for i, cap_b in enumerate(caps):
+            nb = bucket_counts[i]
+            codes_b = np.zeros((nb + 1, cap_b), dtype=np.int32)
+            res_b = np.zeros((nb + 1, cap_b, pd), dtype=np.uint8)
+            in_b = (which[doc_ids] == i) & (within < cap_b)
+            dst_b = row_in_bucket[doc_ids[in_b]] * cap_b + within[in_b]
+            codes_b.reshape(-1)[dst_b] = codes_np[in_b]
+            res_b.reshape(-1, pd)[dst_b] = res_np[in_b]
+            host_buckets.append((codes_b, res_b))
+        # Padding docs and the sentinel resolve to bucket 0's zero row.
+        doc_bucket = np.zeros((np_docs,), np.int32)
+        doc_bucket[:n_real_docs] = which
+        doc_bucket_row = np.full((np_docs,), bucket_counts[0], np.int32)
+        doc_bucket_row[:n_real_docs] = row_in_bucket
+
+    if caps:
+        residuals2d = None  # residuals live only in the buckets
+    elif residuals_on_device:
         residuals2d = np.zeros((np_docs, doc_cap, pd), dtype=np.uint8)
         if n_real_docs:
             residuals2d.reshape(-1, pd)[dst] = np.asarray(residuals)[keep]
@@ -171,6 +288,14 @@ def to_device(
         ivf=put(ivf_p),
         ivf_offsets=put(ivf_off),
         ivf_lengths=put(ivf_len),
+        doc_bucket=put(doc_bucket) if doc_bucket is not None else None,
+        doc_bucket_row=(
+            put(doc_bucket_row) if doc_bucket_row is not None else None
+        ),
+        buckets=tuple(
+            DocBucket(codes=put(cb), residuals=put(rb))
+            for cb, rb in host_buckets
+        ),
     )
     spec = IndexSpec(
         dim=dim,
@@ -180,12 +305,19 @@ def to_device(
         doc_cap=doc_cap,
         cell_cap=cell_cap,
         has_ivf=has_ivf,
+        bucket_caps=tuple(caps) if caps else (),
+        bucket_counts=tuple(bucket_counts),
     )
     return dev, spec
 
 
 def emb_cache_bytes(ispec: IndexSpec) -> int:
     """HBM cost of the decompressed-corpus cache for this index."""
+    if ispec.bucket_caps:
+        return sum(
+            (n + 1) * cap * ispec.dim * 2
+            for n, cap in zip(ispec.bucket_counts, ispec.bucket_caps)
+        )
     np_docs = round_up(ispec.n_docs + 1, 8)
     return np_docs * ispec.doc_cap * ispec.dim * 2
 
@@ -197,36 +329,28 @@ def build_emb_cache(
 
     One pass of the same dequant the rerank would otherwise run per
     (query, candidate); afterwards stage 6 is pure gather + MXU matmul.
-    Requires device-resident residuals.
+    Requires device-resident residuals (full-cap or length-bucketed).
     """
-    import functools
-
-    from fast_plaid_tpu.ops import codec as codec_ops
+    if dev.buckets:
+        if dev.buckets[0].emb is not None:
+            return dev
+        new_buckets = []
+        for bk in dev.buckets:
+            emb = _decompress_2d(
+                bk.codes,
+                bk.residuals,
+                dev.centroids,
+                dev.bucket_weights,
+                nbits=ispec.nbits,
+                block=min(block, bk.codes.shape[0]),
+            )
+            new_buckets.append(bk._replace(emb=emb))
+        return dev._replace(buckets=tuple(new_buckets))
 
     if dev.residuals is None or dev.emb_cache is not None:
         return dev
 
-    @functools.partial(jax.jit, static_argnames=("nbits", "block"))
-    def _decompress_corpus(codes, residuals, centroids, bucket_weights, *, nbits, block):
-        n = codes.shape[0]
-        nb = -(-n // block)
-        pad = nb * block - n
-        cp = jnp.pad(codes, ((0, pad), (0, 0)))
-        rp = jnp.pad(residuals, ((0, pad), (0, 0), (0, 0)))
-        bc = cp.reshape(nb, block, *codes.shape[1:])
-        br = rp.reshape(nb, block, *residuals.shape[1:])
-
-        def one(args):
-            cc, rr = args
-            return codec_ops.decompress(
-                cc, rr, centroids, bucket_weights, nbits,
-                out_dtype=jnp.bfloat16,
-            )
-
-        out = jax.lax.map(one, (bc, br))
-        return out.reshape(nb * block, *out.shape[2:])[:n]
-
-    cache = _decompress_corpus(
+    cache = _decompress_2d(
         dev.codes,
         dev.residuals,
         dev.centroids,
@@ -235,3 +359,26 @@ def build_emb_cache(
         block=min(block, dev.codes.shape[0]),
     )
     return dev._replace(emb_cache=cache)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "block"))
+def _decompress_2d(codes, residuals, centroids, bucket_weights, *, nbits, block):
+    """Decompress a whole [N, cap(, PD)] doc-major array in ``block`` chunks."""
+    from fast_plaid_tpu.ops import codec as codec_ops
+
+    n = codes.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    cp = jnp.pad(codes, ((0, pad), (0, 0)))
+    rp = jnp.pad(residuals, ((0, pad), (0, 0), (0, 0)))
+    bc = cp.reshape(nb, block, *codes.shape[1:])
+    br = rp.reshape(nb, block, *residuals.shape[1:])
+
+    def one(args):
+        cc, rr = args
+        return codec_ops.decompress(
+            cc, rr, centroids, bucket_weights, nbits, out_dtype=jnp.bfloat16
+        )
+
+    out = jax.lax.map(one, (bc, br))
+    return out.reshape(nb * block, *out.shape[2:])[:n]

@@ -346,6 +346,169 @@ def candidates_impl(
     return p2
 
 
+def _bucket_quota(r: int, ispec: IndexSpec, bi: int) -> int:
+    """Static rerank-slot quota for length bucket ``bi``.
+
+    Candidates are roughly corpus-distributed across length buckets; the
+    quota allows 2x the expected share (by document count) plus a fixed
+    floor, so quota overflow — which drops that candidate from the exact
+    rerank and is counted in the search stats — needs a strong adverse
+    length/relevance correlation to occur at all.
+    """
+    counts = ispec.bucket_counts
+    share = counts[bi] / max(sum(counts), 1)
+    q = int(r * share * 2.0) + 64
+    return min(r, ((q + 7) // 8) * 8)
+
+
+def _score_bucket_rows(
+    dev: DeviceIndex,
+    bucket,
+    rows: jax.Array,  # [B, N] local row ids (zero row for invalid)
+    lens: jax.Array,  # [B, N] valid token counts (<= cap_b)
+    queries: jax.Array,
+    *,
+    nbits: int,
+    cap_b: int,
+    mem_budget: int,
+) -> jax.Array:
+    """Chunked decompress(+cache)/MaxSim over one bucket's rows -> [B, N]."""
+    b, n = rows.shape
+    q, d = queries.shape[1], queries.shape[2]
+    per_row = b * cap_b * max(d * 4, q * 4)
+    n_chunk = max(4, min(n, mem_budget // max(1, per_row)))
+    nn = _chunk_count(n, n_chunk)
+    zero_row = bucket.codes.shape[0] - 1
+
+    def prep(x, fill):
+        x = _pad_to(x, nn * n_chunk, 1, fill)
+        return jnp.moveaxis(x.reshape(b, nn, n_chunk), 1, 0)
+
+    chunks = (prep(rows, zero_row), prep(lens, 0))
+
+    def one(args):
+        rr, ll = args
+        if bucket.emb is not None:
+            emb = bucket.emb[rr]
+        else:
+            emb = codec.decompress(
+                bucket.codes[rr],
+                bucket.residuals[rr],
+                dev.centroids,
+                dev.bucket_weights,
+                nbits,
+                out_dtype=RERANK_DTYPE,
+            )
+        tok_valid = (
+            jnp.arange(cap_b, dtype=jnp.int32) < ll[..., None]
+        )  # [B, nc, cap_b]
+        sc, _ = _exact_scores(emb, queries, tok_valid)
+        return sc
+
+    out = jax.lax.map(one, chunks)  # [nn, B, n_chunk]
+    return out.transpose(1, 0, 2).reshape(b, -1)[:, :n]
+
+
+def _rerank_bucketed(
+    dev: DeviceIndex,
+    queries: jax.Array,
+    p2: jax.Array,  # [B, R] pids sorted by descending approx score
+    *,
+    ispec: IndexSpec,
+    mem_budget: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Stage 6 over the length-bucketed layout.
+
+    Each bucket reranks its own candidates at the bucket cap: candidates
+    are compacted to the front (approx-best first, since ``p2`` arrives
+    approx-sorted) and truncated to a static per-bucket quota. Scores are
+    scattered back to their p2 positions; quota-dropped slots stay -inf and
+    are counted. Returns (exact [B, R] f32, quota_dropped [B] i32).
+    """
+    b, r = p2.shape
+    sent = ispec.sentinel_pid
+    pos = jnp.arange(r, dtype=jnp.int32)[None, :]
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    safe_pid = jnp.clip(p2, 0, dev.doc_bucket.shape[0] - 1)
+    b_of = dev.doc_bucket[safe_pid]
+    valid = p2 != sent
+    exact = jnp.full((b, r), NEG)
+    dropped = jnp.zeros((b,), jnp.int32)
+    for bi, bucket in enumerate(dev.buckets):
+        cap_b = ispec.bucket_caps[bi]
+        quota = _bucket_quota(r, ispec, bi)
+        in_b = (b_of == bi) & valid
+        # Stable compaction: in-bucket slots keep their (approx-rank) order
+        # and move to the front; the static quota then keeps the best.
+        keyed = jnp.where(in_b, pos, r + pos)
+        perm = jnp.argsort(keyed, axis=-1)[:, :quota]
+        sel_ok = jnp.take_along_axis(in_b, perm, axis=1)
+        pids_b = jnp.take_along_axis(safe_pid, perm, axis=1)
+        zero_row = bucket.codes.shape[0] - 1
+        rows = jnp.where(sel_ok, dev.doc_bucket_row[pids_b], zero_row)
+        lens = jnp.where(sel_ok, dev.doc_lengths[pids_b], 0)
+        sc = _score_bucket_rows(
+            dev,
+            bucket,
+            rows,
+            lens,
+            queries,
+            nbits=ispec.nbits,
+            cap_b=cap_b,
+            mem_budget=mem_budget,
+        )
+        sc = jnp.where(sel_ok, sc, NEG)
+        # Positions belong to exactly one bucket; other buckets may touch
+        # them only with -inf fillers, so a max-scatter composes safely.
+        exact = exact.at[bidx, perm].max(sc)
+        dropped += jnp.maximum(
+            jnp.sum(in_b, axis=-1, dtype=jnp.int32) - quota, 0
+        )
+    return exact, dropped
+
+
+def _decompress_rows_bucketed(
+    dev: DeviceIndex,
+    pids: jax.Array,  # [...,] pids (sentinel-safe)
+    *,
+    ispec: IndexSpec,
+    out_dtype=None,
+    use_cache: bool = True,
+) -> jax.Array:
+    """Gather+decompress token rows from the bucketed layout.
+
+    Returns [..., doc_cap, D] embeddings (zeros beyond each bucket's cap
+    and for out-of-bucket rows). Intended for small pid sets (winner token
+    matrices, get_embeddings) — each bucket contributes one masked pass.
+    """
+    doc_cap = ispec.doc_cap
+    safe_pid = jnp.clip(pids, 0, dev.doc_bucket.shape[0] - 1)
+    b_of = dev.doc_bucket[safe_pid]
+    out = None
+    for bi, bucket in enumerate(dev.buckets):
+        cap_b = ispec.bucket_caps[bi]
+        zero_row = bucket.codes.shape[0] - 1
+        in_b = b_of == bi
+        rows = jnp.where(in_b, dev.doc_bucket_row[safe_pid], zero_row)
+        if use_cache and bucket.emb is not None:
+            emb = bucket.emb[rows]
+            if out_dtype is not None:
+                emb = emb.astype(out_dtype)
+        else:
+            emb = codec.decompress(
+                bucket.codes[rows],
+                bucket.residuals[rows],
+                dev.centroids,
+                dev.bucket_weights,
+                ispec.nbits,
+                out_dtype=out_dtype,
+            )
+        emb = jnp.where(in_b[..., None, None], emb, 0)
+        emb = _pad_to(emb, doc_cap, emb.ndim - 2, 0)
+        out = emb if out is None else out + emb
+    return out
+
+
 def rerank_rows(
     codes_rows: jax.Array,  # [B, R, doc_cap] int32
     res_rows: jax.Array,  # [B, R, doc_cap, PD] uint8
@@ -462,36 +625,44 @@ def search_impl(
     )
     p2, dropped = cand_out if with_stats else (cand_out, None)
 
-    # Chunk over the rerank set with gathers INSIDE each chunk so the
-    # [B, R, doc_cap, ...] token tensors never materialize in full.
     b, q, d = queries.shape
     r = p2.shape[1]
-    per_row = b * doc_cap * max(d * 4, q * 4)
-    r_chunk = max(4, min(r, mem_budget // max(1, per_row)))
-    rn = _chunk_count(r, r_chunk)
-    p2_p = _pad_to(p2, rn * r_chunk, 1, sent_pid)
-    p2_chunks = p2_p.reshape(b, rn, r_chunk).transpose(1, 0, 2)
+    if dev.buckets:
+        # Length-bucketed stage 6: per-bucket passes at the bucket cap.
+        exact, qdrop = _rerank_bucketed(
+            dev, queries, p2, ispec=ispec, mem_budget=mem_budget
+        )
+        if with_stats:
+            dropped = dropped + qdrop
+    else:
+        # Chunk over the rerank set with gathers INSIDE each chunk so the
+        # [B, R, doc_cap, ...] token tensors never materialize in full.
+        per_row = b * doc_cap * max(d * 4, q * 4)
+        r_chunk = max(4, min(r, mem_budget // max(1, per_row)))
+        rn = _chunk_count(r, r_chunk)
+        p2_p = _pad_to(p2, rn * r_chunk, 1, sent_pid)
+        p2_chunks = p2_p.reshape(b, rn, r_chunk).transpose(1, 0, 2)
 
-    def exact_chunk(pids: jax.Array) -> jax.Array:
-        valid = _doc_mask(dev, pids, doc_cap)
-        if dev.emb_cache is not None:
-            # Pre-decompressed corpus: rerank is gather + MXU only (the
-            # dequant select-sum otherwise dominates, done B*R times over).
-            emb = dev.emb_cache[pids]
-        else:
-            emb = codec.decompress(
-                dev.codes[pids],
-                dev.residuals[pids],
-                dev.centroids,
-                dev.bucket_weights,
-                ispec.nbits,
-                out_dtype=RERANK_DTYPE,
-            )  # [B, Rc, doc_cap, D] bf16
-        sc, _ = _exact_scores(emb, queries, valid)
-        return jnp.where(pids == sent_pid, NEG, sc)
+        def exact_chunk(pids: jax.Array) -> jax.Array:
+            valid = _doc_mask(dev, pids, doc_cap)
+            if dev.emb_cache is not None:
+                # Pre-decompressed corpus: rerank is gather + MXU only (the
+                # dequant select-sum otherwise dominates, done B*R times over).
+                emb = dev.emb_cache[pids]
+            else:
+                emb = codec.decompress(
+                    dev.codes[pids],
+                    dev.residuals[pids],
+                    dev.centroids,
+                    dev.bucket_weights,
+                    ispec.nbits,
+                    out_dtype=RERANK_DTYPE,
+                )  # [B, Rc, doc_cap, D] bf16
+            sc, _ = _exact_scores(emb, queries, valid)
+            return jnp.where(pids == sent_pid, NEG, sc)
 
-    exact = jax.lax.map(exact_chunk, p2_chunks)  # [rn, B, Rc]
-    exact = exact.transpose(1, 0, 2).reshape(b, -1)[:, :r]
+        exact = jax.lax.map(exact_chunk, p2_chunks)  # [rn, B, Rc]
+        exact = exact.transpose(1, 0, 2).reshape(b, -1)[:, :r]
     fp, fs = _final_topk(exact, p2, top_k)
 
     if not want_tokens:
@@ -501,7 +672,13 @@ def search_impl(
     # than materializing [B, R, doc_cap, Q] for every rerank candidate).
     safe = jnp.where(fp < 0, sent_pid, fp)
     valid = _doc_mask(dev, safe, doc_cap)
-    if dev.emb_cache is not None:
+    if dev.buckets:
+        emb = _decompress_rows_bucketed(
+            dev, safe, ispec=ispec, out_dtype=RERANK_DTYPE
+        )
+        _, tok = _exact_scores(emb, queries, valid)
+        tok = jnp.where(valid[..., None], tok, 0.0)
+    elif dev.emb_cache is not None:
         _, tok = _exact_scores(dev.emb_cache[safe], queries, valid)
         tok = jnp.where(valid[..., None], tok, 0.0)
     else:
@@ -619,12 +796,19 @@ def reconstruct_core(
     rayon per-doc loop) with one batched gather+decompress.
     """
     valid = _doc_mask(dev, pids, ispec.doc_cap)
-    emb = codec.decompress(
-        dev.codes[pids],
-        dev.residuals[pids],
-        dev.centroids,
-        dev.bucket_weights,
-        ispec.nbits,
-    )
+    if dev.buckets:
+        # Reconstruct from the exact codec path (not the bf16 emb cache):
+        # get_embeddings promises full-precision decompression.
+        emb = _decompress_rows_bucketed(
+            dev, pids, ispec=ispec, use_cache=False
+        )
+    else:
+        emb = codec.decompress(
+            dev.codes[pids],
+            dev.residuals[pids],
+            dev.centroids,
+            dev.bucket_weights,
+            ispec.nbits,
+        )
     emb = jnp.where(valid[..., None], emb, 0.0)
     return emb, dev.doc_lengths[pids]

@@ -112,6 +112,7 @@ class FastPlaid:
         low_memory: bool = True,
         mem_budget_bytes: int = 256 * 1024 * 1024,
         emb_cache_budget_bytes: int | None = None,
+        length_buckets: int = 4,
         **kwargs: Any,  # noqa: ARG002 - parity with the reference signature
     ) -> None:
         self.index = index
@@ -121,6 +122,9 @@ class FastPlaid:
         # HBM budget for the decompressed-corpus rerank cache; None picks
         # the platform default (on for accelerators, off on CPU).
         self.emb_cache_budget = emb_cache_budget_bytes
+        # Max length buckets for the rerank layout (0/1 disables; buckets
+        # engage only when the corpus length skew pays for them).
+        self.length_buckets = int(length_buckets)
 
         os.makedirs(self.index, exist_ok=True)
         self.lock_path = os.path.join(self.index, "plaid.lock")
@@ -176,6 +180,7 @@ class FastPlaid:
                 self.devices,
                 low_memory=self.low_memory,
                 emb_cache_budget=self.emb_cache_budget,
+                length_buckets=self.length_buckets,
             )
             with self._index_swap_lock:
                 self.indices = new_indices
@@ -190,6 +195,7 @@ class FastPlaid:
             self.devices,
             low_memory=self.low_memory,
             emb_cache_budget=self.emb_cache_budget,
+            length_buckets=self.length_buckets,
         )
         with self._index_swap_lock:
             self.indices = new_indices

@@ -79,6 +79,7 @@ def _construct(
     device: jax.Device,
     low_memory: bool,
     emb_cache_budget: int | None = None,
+    length_buckets: int = 4,
 ) -> LoadedIndex:
     dev, ispec = to_device(
         centroids=data.centroids,
@@ -91,6 +92,7 @@ def _construct(
         nbits=data.nbits,
         device=device,
         residuals_on_device=not low_memory,
+        length_buckets=0 if low_memory else length_buckets,
     )
     if not low_memory:
         budget = (
@@ -129,11 +131,14 @@ def reload_index(
     devices: list[jax.Device],
     low_memory: bool = False,
     emb_cache_budget: int | None = None,
+    length_buckets: int = 4,
 ) -> dict[str, LoadedIndex | None]:
     """Load the index for each device; returns {device_str: LoadedIndex|None}.
 
     low_memory is ignored for CPU devices (host == device memory there, as in
     the reference: the flag "has no effect when device='cpu'", README).
+    ``length_buckets`` bounds the length-bucketed rerank layout (0/1
+    disables; applied only when the corpus length skew pays for it).
     """
     data = load_index_data(index_path)
     if data is None:
@@ -145,6 +150,7 @@ def reload_index(
             d,
             low_memory and d.platform != "cpu",
             emb_cache_budget=emb_cache_budget,
+            length_buckets=length_buckets,
         )
 
     out: dict[str, LoadedIndex | None] = {}

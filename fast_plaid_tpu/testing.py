@@ -78,6 +78,7 @@ def build_memory_index(
     device=None,
     verbose: bool = False,
     emb_cache: bool = False,
+    length_buckets: int = 0,
 ) -> tuple[DeviceIndex, IndexSpec]:
     """Full index build pipeline -> device arrays, skipping persistence."""
     import time
@@ -113,6 +114,7 @@ def build_memory_index(
         ivf_lengths=ivf_lengths,
         nbits=nbits,
         device=device,
+        length_buckets=length_buckets,
     )
     if emb_cache:
         dev = build_emb_cache(dev, ispec)
@@ -129,6 +131,7 @@ def build_memory_index_flat(
     device=None,
     verbose: bool = False,
     emb_cache: bool = False,
+    length_buckets: int = 0,
 ) -> tuple[DeviceIndex, IndexSpec]:
     """Memory-lean build from a flat token array (large-corpus benches).
 
@@ -179,6 +182,7 @@ def build_memory_index_flat(
         ivf_lengths=ivf_lengths,
         nbits=nbits,
         device=device,
+        length_buckets=length_buckets,
     )
     if emb_cache:
         dev = build_emb_cache(dev, ispec)

@@ -186,7 +186,15 @@ def candidates_impl(
         )
         probe_scores = jnp.where(allowed[:, None, :], probe_scores, NEG)
     probe = min(n_ivf_probe, kp)
-    top_cell_scores, cells = jax.lax.top_k(probe_scores, probe)  # [B, Q, probe]
+    # TPU-native approximate top-k for the probe (exact top_k over
+    # [B, Q, Kp] measured 20x slower at Kp=32k; the probe is a recall
+    # heuristic, and approx_max_k's default 0.95 per-element recall is
+    # far inside PLAID's own slack). Exact top_k elsewhere.
+    top_cell_scores, cells = jax.lax.approx_max_k(
+        probe_scores.reshape(b * q, kp), probe
+    )
+    top_cell_scores = top_cell_scores.reshape(b, q, probe)
+    cells = cells.reshape(b, q, probe)
     cells = jnp.where(top_cell_scores > NEG, cells, kp)  # kp = empty sentinel cell
     cells = cells.reshape(b, q * probe)
     cells = _dedup_sorted(jnp.sort(cells, axis=-1), kp)
@@ -203,7 +211,7 @@ def candidates_impl(
     order = jnp.argsort(-cell_pri, axis=-1)
     cells = jnp.take_along_axis(cells, order, axis=-1)
 
-    # ---- 3. candidates: exactly-compacted segmented gather.
+    # ---- 3. candidates: exactly-compacted segmented layout.
     # Instead of a [C, cell_cap] window per probed cell (max-cell padding
     # waste), lay the probed cells' lists end to end in a static
     # [B, cand_cap] buffer: slot j belongs to the cell whose cumulative
@@ -219,12 +227,81 @@ def candidates_impl(
     total = seg_end[:, -1]
     if cand_cap is None:
         cand_cap = c_cells * cell_cap
+    base_tab = offs - seg_start  # [B, C]
+    cell_ids = jnp.arange(c_cells, dtype=jnp.int32)
+
+    if approx_mode == "cells" and subset is None:
+        # ---- 3/4/5 (cells, fast path). Score SLOTS before ever touching
+        # pids: a slot's estimate is its owning cell's total query score
+        # (max_c sum_q form of the PLAID stage-1 estimator). Per-slot
+        # tables (score, ivf base) are piecewise-constant over the abutting
+        # probed-cell segments, so they're built by scattering +v/-v at
+        # segment boundaries and taking a cumsum — no per-slot gather, no
+        # [B, J, C] ownership compare. The IVF pid gather and the dedup
+        # sort then shrink from cand_cap (tens of thousands) to the
+        # 2*n_full_scores slot winners picked by the TPU-native
+        # approx_max_k. (The previous sum_q max_c variant spent ~90% of
+        # search wall time in gathers/sorts at 57k docs.)
+        cells_safe = jnp.clip(cells, 0, kp - 1)
+        cell_tot = jnp.sum(
+            jnp.take_along_axis(scores_qc, cells_safe[:, None, :], axis=2),
+            axis=1,
+        )  # [B, C] (zero-padded query rows contribute exactly 0)
+        # Finite value for empty/sentinel segments: their +v/-v telescopes
+        # away under cumsum (seg_start == seg_end), and -inf would nan.
+        ct_safe = jnp.where(cells == kp, 0.0, cell_tot)
+        bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        delta = jnp.zeros((b, cand_cap), jnp.float32)
+        delta = delta.at[bidx, seg_start].add(ct_safe, mode="drop")
+        delta = delta.at[bidx, seg_end].add(-ct_safe, mode="drop")
+        slot_score = jnp.cumsum(delta, axis=-1)
+        base_i32 = base_tab.astype(jnp.int32)
+        dbase = jnp.zeros((b, cand_cap), jnp.int32)
+        dbase = dbase.at[bidx, seg_start].add(base_i32, mode="drop")
+        dbase = dbase.at[bidx, seg_end].add(-base_i32, mode="drop")
+        base_arr = jnp.cumsum(dbase, axis=-1)
+        jpos = jnp.arange(cand_cap, dtype=jnp.int32)[None, :]
+        slot_score = jnp.where(jpos < total[:, None], slot_score, NEG)
+
+        k2 = min(cand_cap, ((2 * n_full_scores + 127) // 128) * 128)
+        vals, idx = jax.lax.approx_max_k(slot_score, k2)
+        # pids for the k2 winning slots only.
+        base_w = jnp.take_along_axis(base_arr, idx, axis=1)
+        src = jnp.clip(base_w + idx, 0, dev.ivf.shape[0] - 1)
+        pid = jnp.where(jnp.isneginf(vals), sent_pid, dev.ivf[src])
+
+        # Dedup multi-cell docs: sort winners by pid, keep the max score
+        # of each run (backward doubling), score only the run head.
+        pid_s, val_s = jax.lax.sort((pid, vals), dimension=-1, num_keys=1)
+        step = 1
+        while step < k2:
+            eq = pid_s[:, :-step] == pid_s[:, step:]
+            val_s = val_s.at[:, :-step].max(
+                jnp.where(eq, val_s[:, step:], NEG)
+            )
+            step *= 2
+        is_start = jnp.concatenate(
+            [jnp.ones((b, 1), bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=-1
+        ) & (pid_s != sent_pid)
+        approx = jnp.where(is_start, val_s, NEG)
+        cand_for_prune = pid_s
+        pool_divisor = 2  # coarser estimator -> wider exact-rerank pool
+
+        # ---- 5. prune: top n_full_scores, then the exact-rerank pool.
+        k1 = min(n_full_scores, approx.shape[1])
+        s1, i1 = jax.lax.top_k(approx, k1)
+        p1 = jnp.take_along_axis(cand_for_prune, i1, axis=1)
+        p1 = jnp.where(jnp.isneginf(s1), sent_pid, p1)
+        r = min(max(n_full_scores // pool_divisor, 1), k1)
+        p2 = p1[:, :r]
+        if with_stats:
+            dropped = jnp.maximum(total - cand_cap, 0).astype(jnp.int32)
+            return p2, dropped
+        return p2
 
     j_chunk = max(128, min(cand_cap, mem_budget // max(1, 8 * b * c_cells)))
     jn = _chunk_count(cand_cap, j_chunk)
     j_blocks = jnp.arange(jn * j_chunk, dtype=jnp.int32).reshape(jn, j_chunk)
-    base_tab = offs - seg_start  # [B, C]
-    cell_ids = jnp.arange(c_cells, dtype=jnp.int32)
 
     def gen_chunk(jj: jax.Array):  # [jc] -> pid [B, jc], cell_slot [B, jc]
         owner = (jj[None, :, None] >= seg_start[:, None, :]) & (
@@ -747,7 +824,9 @@ def suggest_query_tile(
     doubling double-buffer) fits the HBM budget."""
     kp = ((max(ispec.n_partitions, 1) + 127) // 128) * 128
     per_query = q_cap * kp * 8  # scores_qc f32 (+ fusion headroom)
-    per_query += cand_cap * (q_cap * 2 * 2 + 24)  # s_slot bf16 x2 + int bufs
+    # slot_score f32 + cell_slot i32 (x2 for chunk transposes) + misc int
+    # buffers; the fast cells path never materializes [B, cand, Q] tensors.
+    per_query += cand_cap * 32
     return int(max(1, min(max_tile, hbm_budget // max(per_query, 1))))
 
 

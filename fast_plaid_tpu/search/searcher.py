@@ -170,26 +170,23 @@ def host_gather_rows(loaded: LoadedIndex, pids: np.ndarray):
     return codes_rows, np.asarray(res_rows), tok_valid
 
 
-def _search_tile_low_memory(
+def _lm_candidates(
     loaded: LoadedIndex,
     tile_dev,
     sub_dev,
     *,
-    top_k: int,
     n_ivf_probe: int,
     n_full_scores: int,
-    want_tokens: bool,
     mem_budget: int,
     cand_cap: int | None,
-    approx_mode: str = "cells",
+    approx_mode: str,
 ):
-    """Two-phase cascade: device candidates -> host row stream -> device rerank."""
-    ispec = loaded.ispec
-    p2, dropped = candidates_core(
+    """Low_memory phase 1: dispatch the device candidate cascade (async)."""
+    return candidates_core(
         loaded.dev,
         tile_dev,
         sub_dev,
-        ispec=ispec,
+        ispec=loaded.ispec,
         n_ivf_probe=n_ivf_probe,
         n_full_scores=n_full_scores,
         mem_budget=mem_budget,
@@ -197,8 +194,22 @@ def _search_tile_low_memory(
         approx_mode=approx_mode,
         with_stats=True,
     )
-    p2_np = np.asarray(p2)
-    codes_rows, res_rows, tok_valid = host_gather_rows(loaded, p2_np)
+
+
+def _lm_finish(
+    loaded: LoadedIndex,
+    tile_dev,
+    p2,
+    dropped,
+    rows,
+    *,
+    top_k: int,
+    want_tokens: bool,
+    mem_budget: int,
+):
+    """Low_memory phase 3: device rerank of pre-gathered host rows."""
+    ispec = loaded.ispec
+    codes_rows, res_rows, tok_valid = rows
     put = lambda x: jax.device_put(x, loaded.device)  # noqa: E731
     exact = rerank_rows_core(
         put(codes_rows),
@@ -281,11 +292,12 @@ def search_on_device(
         b_tile = min(b_tile, max(1, int(max_tile)))  # user memory hint
     if loaded.low_memory:
         # Bound the streamed rerank-row buffers (codes i32 + residuals u8 +
-        # valid u8 per token) by the memory budget instead of a fixed cap.
+        # valid u8 per token) by the memory budget instead of a fixed cap;
+        # the pipeline keeps two tiles in flight, so each gets half.
         r_pool = max(n_full_scores // 2, 1)
         pd = loaded.host_residuals.shape[1] if loaded.host_residuals is not None else ispec.dim // 2
         per_q = r_pool * ispec.doc_cap * (pd + 5)
-        b_tile = min(b_tile, max(1, mem_budget // max(per_q, 1)))
+        b_tile = min(b_tile, max(1, (mem_budget // 2) // max(per_q, 1)))
     b_tile = max(1, min(b_tile, nq))
 
     results: list = []
@@ -298,7 +310,8 @@ def search_on_device(
             iterator = tqdm(iterator, desc="Searching")
         except ImportError:
             pass
-    for start in iterator:
+
+    def make_tile(start: int):
         end = min(start + b_tile, nq)
         tile = batch[start:end]
         if end - start < b_tile:  # pad tile to the static size
@@ -316,42 +329,16 @@ def search_on_device(
             sub_dev = jax.device_put(sub, loaded.device)
         else:
             sub_dev = None
+        return end, tile_dev, sub_dev
 
-        if loaded.low_memory:
-            out = _search_tile_low_memory(
-                loaded,
-                tile_dev,
-                sub_dev,
-                top_k=top_k,
-                n_ivf_probe=n_ivf_probe,
-                n_full_scores=n_full_scores,
-                want_tokens=want_tokens,
-                mem_budget=mem_budget,
-                cand_cap=cand_cap,
-                approx_mode=approx_mode,
-            )
-        else:
-            out = search_core(
-                loaded.dev,
-                tile_dev,
-                sub_dev,
-                ispec=ispec,
-                top_k=top_k,
-                n_ivf_probe=n_ivf_probe,
-                n_full_scores=n_full_scores,
-                want_tokens=want_tokens,
-                mem_budget=mem_budget,
-                cand_cap=cand_cap,
-                approx_mode=approx_mode,
-                with_stats=True,
-            )
+    def emit(out, start: int, end: int) -> None:
+        nonlocal dropped_total
         if want_tokens:
             pids, scores, tok, doc_lens, dropped = (np.asarray(x) for x in out)
         else:
             pids, scores, dropped = (np.asarray(x) for x in out)
             tok = doc_lens = None
         dropped_total += int(dropped[: end - start].sum())
-
         for bi in range(end - start):
             qlen = q_lens[start + bi]
             row = []
@@ -367,6 +354,78 @@ def search_on_device(
                 else:
                     row.append((pid, score))
             results.append(row)
+
+    if loaded.low_memory:
+        # Pipelined host/device overlap: the device candidate cascade for
+        # tile i+1 is dispatched (async) before tile i's host row gather
+        # completes, and the gather runs on a worker thread while the main
+        # thread reranks earlier tiles — two tiles in flight, so neither
+        # the host stream nor the device cascade serializes the other
+        # (SURVEY §7's "prefetch that doesn't serialize the cascade"; the
+        # reference instead streams per lookup, tensor.rs:299-304).
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def gather_stage(args):
+            start, end, tile_dev, p2, dropped = args
+            rows = host_gather_rows(loaded, np.asarray(p2))
+            return start, end, tile_dev, p2, dropped, rows
+
+        def finish_stage(g) -> None:
+            start, end, tile_dev, p2, dropped, rows = g
+            out = _lm_finish(
+                loaded,
+                tile_dev,
+                p2,
+                dropped,
+                rows,
+                top_k=top_k,
+                want_tokens=want_tokens,
+                mem_budget=mem_budget,
+            )
+            emit(out, start, end)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            inflight: deque = deque()
+            for start in iterator:
+                end, tile_dev, sub_dev = make_tile(start)
+                p2, dropped = _lm_candidates(
+                    loaded,
+                    tile_dev,
+                    sub_dev,
+                    n_ivf_probe=n_ivf_probe,
+                    n_full_scores=n_full_scores,
+                    mem_budget=mem_budget,
+                    cand_cap=cand_cap,
+                    approx_mode=approx_mode,
+                )
+                inflight.append(
+                    pool.submit(
+                        gather_stage, (start, end, tile_dev, p2, dropped)
+                    )
+                )
+                if len(inflight) >= 2:
+                    finish_stage(inflight.popleft().result())
+            while inflight:
+                finish_stage(inflight.popleft().result())
+    else:
+        for start in iterator:
+            end, tile_dev, sub_dev = make_tile(start)
+            out = search_core(
+                loaded.dev,
+                tile_dev,
+                sub_dev,
+                ispec=ispec,
+                top_k=top_k,
+                n_ivf_probe=n_ivf_probe,
+                n_full_scores=n_full_scores,
+                want_tokens=want_tokens,
+                mem_budget=mem_budget,
+                cand_cap=cand_cap,
+                approx_mode=approx_mode,
+                with_stats=True,
+            )
+            emit(out, start, end)
 
     import threading
 

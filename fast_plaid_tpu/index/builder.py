@@ -102,8 +102,13 @@ def compress_tokens(
 
     Tokens are processed in fixed ``token_block`` windows (padded), so jit
     compiles at most two shapes per build regardless of the corpus size.
+    Device-resident ``flat`` arrays are consumed in place (no host copy).
     """
-    flat = np.asarray(flat, dtype=np.float32)
+    import jax
+
+    on_device = isinstance(flat, jax.Array)
+    if not on_device:
+        flat = np.asarray(flat, dtype=np.float32)
     t = flat.shape[0]
     cent = jnp.asarray(centroids, dtype=jnp.float32)
     cuts = jnp.asarray(bucket_cutoffs, dtype=jnp.float32)
@@ -115,7 +120,8 @@ def compress_tokens(
         end = min(start + block, t)
         x = flat[start:end]
         if end - start < block:
-            x = np.pad(x, ((0, block - (end - start)), (0, 0)))
+            pad = ((0, block - (end - start)), (0, 0))
+            x = jnp.pad(x, pad) if on_device else np.pad(x, pad)
         c, p = codec.compress(jnp.asarray(x), cent, cuts, nbits)
         codes_out[start:end] = np.asarray(c[: end - start])
         packed_out[start:end] = np.asarray(p[: end - start])

@@ -121,7 +121,11 @@ def train_kmeans(
     Lloyd's loop and (optionally) L2-normalizes the result — mirroring
     compute_kmeans (fast_plaid.py:71-185) end to end.
     """
-    data = np.asarray(data, dtype=np.float32)
+    if not isinstance(data, jax.Array):
+        # Host input: keep it numpy until the final transfer. Device input
+        # (e.g. device-synthesized bench corpora) stays put — gathers and
+        # slices below run on device, avoiding a host round-trip.
+        data = np.asarray(data, dtype=np.float32)
     t = data.shape[0]
     k = int(min(k, t))
     rng = np.random.default_rng(seed)
@@ -132,7 +136,7 @@ def train_kmeans(
 
     cap = k * max_points_per_centroid
     if t > cap:
-        sel = rng.choice(t, size=cap, replace=False)
+        sel = np.sort(rng.choice(t, size=cap, replace=False))
         data = data[sel]
         t = cap
 
@@ -143,7 +147,7 @@ def train_kmeans(
         t = (t // chunk) * chunk
         data = data[:t]
 
-    init_idx = rng.permutation(t)[:k]
+    init_idx = np.sort(rng.permutation(t)[:k])
     init = jnp.asarray(data[init_idx])
     key = jax.random.PRNGKey(seed)
     chunk = int(min(chunk, max(256, t)))

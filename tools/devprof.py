@@ -45,9 +45,8 @@ def get_index(n_docs: int, dim: int = 128, doc_len: int = 160):
         ])
         return dev, ispec
 
-    rng = np.random.default_rng(0)
-    flat, doc_lengths = testing.random_flat_corpus(
-        rng, n_docs, doc_len, dim, variable=True
+    flat, doc_lengths = testing.random_flat_corpus_device(
+        0, n_docs, doc_len, dim, variable=True
     )
     t0 = time.perf_counter()
     dev, ispec = testing.build_memory_index_flat(
@@ -85,11 +84,13 @@ def main():
     ap.add_argument("--batch", type=int, default=0, help="0 = auto tile")
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no-emb-cache", action="store_true")
     args = ap.parse_args()
 
     import jax
 
     from fast_plaid_tpu import testing
+    from fast_plaid_tpu.index.layout import build_emb_cache
     from fast_plaid_tpu.search.engine import (
         candidate_capacity,
         candidates_core,
@@ -98,6 +99,11 @@ def main():
     )
 
     dev, ispec = get_index(args.docs)
+    if not args.no_emb_cache:
+        t0 = time.perf_counter()
+        dev = build_emb_cache(dev, ispec)
+        jax.block_until_ready(dev.emb_cache)
+        print(f"# emb cache built in {time.perf_counter() - t0:.1f}s")
     print(f"# {ispec}")
     rng = np.random.default_rng(1)
     q_len = 32

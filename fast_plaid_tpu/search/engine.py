@@ -676,6 +676,7 @@ def search_impl(
     cand_cap: int | None = None,
     approx_mode: str = "cells",
     with_stats: bool = False,
+    use_rerank_kernel: bool = False,
 ):
     """Batched PLAID cascade (traceable body — also used inside shard_map).
 
@@ -711,6 +712,15 @@ def search_impl(
         )
         if with_stats:
             dropped = dropped + qdrop
+    elif use_rerank_kernel and dev.emb_cache is not None:
+        # Pallas fused gather+MaxSim (TPU only): candidate rows stream
+        # HBM->VMEM once and only [B, R] scores come back — no decompressed
+        # [B, R, doc_cap, D] tile ever lands in HBM (ops/rerank_kernel.py).
+        from fast_plaid_tpu.ops.rerank_kernel import maxsim_gather_scores
+
+        exact = maxsim_gather_scores(
+            dev.emb_cache, p2, dev.doc_lengths[p2], queries
+        )
     else:
         # Chunk over the rerank set with gathers INSIDE each chunk so the
         # [B, R, doc_cap, ...] token tensors never materialize in full.
@@ -786,6 +796,7 @@ search_core = jax.jit(
         "cand_cap",
         "approx_mode",
         "with_stats",
+        "use_rerank_kernel",
     ),
 )
 

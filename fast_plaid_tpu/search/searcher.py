@@ -9,6 +9,8 @@ processed in fixed-size device tiles through the jitted cascade
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -409,6 +411,14 @@ def search_on_device(
             while inflight:
                 finish_stage(inflight.popleft().result())
     else:
+        # Fused Pallas rerank (gather+MaxSim in one VMEM pass) whenever the
+        # decompressed-corpus cache is resident on a real TPU.
+        use_kernel = (
+            loaded.device.platform == "tpu"
+            and loaded.dev.emb_cache is not None
+            and not loaded.dev.buckets
+            and os.environ.get("FASTPLAID_NO_RERANK_KERNEL") != "1"
+        )
         for start in iterator:
             end, tile_dev, sub_dev = make_tile(start)
             out = search_core(
@@ -424,6 +434,7 @@ def search_on_device(
                 cand_cap=cand_cap,
                 approx_mode=approx_mode,
                 with_stats=True,
+                use_rerank_kernel=use_kernel,
             )
             emit(out, start, end)
 

@@ -76,6 +76,11 @@ def main() -> None:
     )
 
     mem_budget = int(os.environ.get("BENCH_MEM_BUDGET", 1 << 30))
+    use_kernel = (
+        jax.devices()[0].platform == "tpu"
+        and dev.emb_cache is not None
+        and os.environ.get("FASTPLAID_NO_RERANK_KERNEL") != "1"
+    )
 
     def run(batch):
         return search_core(
@@ -89,6 +94,7 @@ def main() -> None:
             want_tokens=False,
             cand_cap=cand_cap,
             mem_budget=mem_budget,
+            use_rerank_kernel=use_kernel,
         )
 
     # Big device-resident tiles (sized to HBM) with DIFFERENT queries per

@@ -36,7 +36,9 @@ NEG = float("-inf")  # python literal: jnp constants can't be captured by kernel
 
 def _kernel(pids_ref, lens_ref, q_ref, emb_hbm, out_ref, scratch, sems):
     """Grid step rt: score candidates [rt*r_tile, (rt+1)*r_tile) of all
-    B_CHUNK query rows.
+    B_CHUNK query rows, double-buffered: step rt issues the DMAs for step
+    rt+1 into the other scratch slot before consuming its own, so the row
+    gather for the next tile overlaps this tile's MXU contraction.
 
     pids_ref: [BC, RP] int32 (SMEM, full; scalar reads drive the DMAs).
     lens_ref: [1, BC, r_tile] int32 (VMEM, blocked per step).
@@ -44,31 +46,47 @@ def _kernel(pids_ref, lens_ref, q_ref, emb_hbm, out_ref, scratch, sems):
     (HBM, manual DMA). out_ref: [1, BC, r_tile] f32 (VMEM, blocked).
     """
     rt = pl.program_id(0)
-    bc, r_tile, doc_cap, d = scratch.shape
+    n_rt = pl.num_programs(0)
+    _, bc, r_tile, doc_cap, d = scratch.shape
+
+    def issue(slot, step):
+        j0 = pl.multiple_of(step * r_tile, r_tile)
+
+        def body(i, _):
+            for bj in range(bc):  # static unroll over the 8 query rows
+                pid = pids_ref[bj, j0 + i]
+                pltpu.make_async_copy(
+                    emb_hbm.at[pid],
+                    scratch.at[slot, bj, i],
+                    sems.at[slot, bj, i],
+                ).start()
+            return 0
+
+        jax.lax.fori_loop(0, r_tile, body, 0)
+
+    @pl.when(rt == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(rt + 1 < n_rt)
+    def _():
+        issue((rt + 1) % 2, rt + 1)
+
+    slot = rt % 2
     j0 = pl.multiple_of(rt * r_tile, r_tile)
-
-    def issue(i, _):
-        for bj in range(bc):  # static unroll over the 8 query rows
-            pid = pids_ref[bj, j0 + i]
-            pltpu.make_async_copy(
-                emb_hbm.at[pid], scratch.at[bj, i], sems.at[bj, i]
-            ).start()
-        return 0
-
-    jax.lax.fori_loop(0, r_tile, issue, 0)
 
     def wait(i, _):
         for bj in range(bc):
             pid = pids_ref[bj, j0 + i]
             pltpu.make_async_copy(
-                emb_hbm.at[pid], scratch.at[bj, i], sems.at[bj, i]
+                emb_hbm.at[pid], scratch.at[slot, bj, i], sems.at[slot, bj, i]
             ).wait()
         return 0
 
     jax.lax.fori_loop(0, r_tile, wait, 0)
 
     q = q_ref[:]  # [BC, Q, D] bf16
-    emb = scratch[:].reshape(bc, r_tile * doc_cap, d)
+    emb = scratch[slot].reshape(bc, r_tile * doc_cap, d)
     ts = jax.lax.dot_general(
         emb,
         q,
@@ -90,7 +108,7 @@ def maxsim_gather_scores(
     pids: jax.Array,  # [B, R] int32 (rows with length 0 score -inf)
     lens: jax.Array,  # [B, R] int32 valid token counts
     queries: jax.Array,  # [B, Q, D] (cast to bf16)
-    r_tile: int = 16,
+    r_tile: int = 8,
     b_chunk: int = 8,
 ) -> jax.Array:
     """Fused gather+MaxSim: returns [B, R] f32 scores (-inf for empty rows)."""
@@ -123,12 +141,12 @@ def maxsim_gather_scores(
         ),
         out_shape=jax.ShapeDtypeStruct((n_rt, b_chunk, r_tile), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((b_chunk, r_tile, doc_cap, d), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((b_chunk, r_tile)),
+            pltpu.VMEM((2, b_chunk, r_tile, doc_cap, d), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, b_chunk, r_tile)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
-                b_chunk * r_tile * doc_cap * d * 2  # emb scratch
+                2 * b_chunk * r_tile * doc_cap * d * 2  # emb scratch x2
                 + b_chunk * r_tile * doc_cap * nq * 4 * 2  # token scores
                 + 8 * 1024 * 1024
             ),

@@ -152,6 +152,14 @@ def train_kmeans(
     key = jax.random.PRNGKey(seed)
     chunk = int(min(chunk, max(256, t)))
     centroids = _lloyd(jnp.asarray(data), init, key, k, int(niters), chunk)
+    if isinstance(data, jax.Array):
+        # Device input -> device output: in-memory builds keep the whole
+        # pipeline on the accelerator (index/device_build.py) and a final
+        # host fetch of [k, D] can dominate on remote-attached devices.
+        if normalize:
+            norms = jnp.linalg.norm(centroids, axis=-1, keepdims=True)
+            centroids = centroids / jnp.maximum(norms, 1e-12)
+        return centroids
     centroids = np.asarray(centroids, dtype=np.float32)
     if normalize:
         norms = np.linalg.norm(centroids, axis=-1, keepdims=True)

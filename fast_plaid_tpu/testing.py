@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+
 from fast_plaid_tpu.index import ivf as ivf_mod
 from fast_plaid_tpu.index.builder import (
     compress_documents,
@@ -182,11 +184,36 @@ def build_memory_index_flat(
             )
         return time.perf_counter()
 
+    if (
+        isinstance(flat, jax.Array)
+        and device is None
+        and length_buckets == 0
+        and flat.shape[0] > 0
+        and len(doc_lengths) > 0
+    ):
+        # Device-resident corpus: the fully on-device build never
+        # round-trips corpus-sized arrays through the host.
+        from fast_plaid_tpu.index.device_build import (
+            build_memory_index_device,
+        )
+
+        return build_memory_index_device(
+            flat,
+            doc_lengths,
+            nbits=nbits,
+            seed=seed,
+            k=k,
+            kmeans_niters=kmeans_niters,
+            emb_cache=emb_cache,
+            verbose=verbose,
+        )
+
     t = time.perf_counter()
     rng = np.random.default_rng(seed)
     if k is None:
         k = min(num_partitions_heuristic(flat.shape[0]), flat.shape[0])
     centroids = train_kmeans(flat, k=k, niters=kmeans_niters, seed=seed)
+    centroids = np.asarray(centroids)
     t = mark(f"kmeans k={k}", t)
 
     heldout_n = min(50_000, flat.shape[0])

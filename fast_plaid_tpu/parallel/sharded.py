@@ -148,6 +148,7 @@ def build_sharded_index(
         "mem_budget",
         "mesh",
         "cand_cap",
+        "approx_mode",
     ),
 )
 def _sharded_search_jit(
@@ -162,6 +163,7 @@ def _sharded_search_jit(
     mem_budget: int,
     mesh: Mesh,
     cand_cap: int | None,
+    approx_mode: str = "cells",
 ):
     axis = mesh.axis_names[0]
 
@@ -178,6 +180,7 @@ def _sharded_search_jit(
             want_tokens=False,
             mem_budget=mem_budget,
             cand_cap=cand_cap,
+            approx_mode=approx_mode,
         )
         gpids = jnp.where(pids >= 0, pids + base_blk[0], -1)
         # ICI merge: gather the tiny [B, top_k] per-chip results, re-top-k.
@@ -211,6 +214,7 @@ def sharded_search(
     n_ivf_probe: int = 8,
     n_full_scores: int = 4096,
     mem_budget: int = 256 * 1024 * 1024,
+    approx_mode: str = "cells",
 ):
     """Doc-sharded search: [B, Q, D] queries -> ([B, top_k] ids, scores)."""
     q = jnp.asarray(queries, dtype=jnp.float32)
@@ -233,6 +237,7 @@ def sharded_search(
         mem_budget=mem_budget,
         mesh=sharded.mesh,
         cand_cap=cand_cap,
+        approx_mode=approx_mode,
     )
 
 

@@ -159,6 +159,15 @@ def candidates_impl(
     * "tokens" (reference parity, search.rs:554-599): every candidate token
       gathers its centroid's query scores — a tighter estimate but
       gather-descriptor-bound on TPU (~20M rows/s).
+
+    Estimator choice matters when cells are coarse: "cells" gives every
+    candidate in a cell the SAME estimate, so once a probed cell holds more
+    docs than the 2*n_full_scores slot budget the tie-break truncates
+    arbitrarily within it (measured: planted-duplicate recall collapses at
+    k=256 cells over 8.8M docs). With k at the partition heuristic
+    (~sqrt-scale) cells stay far smaller than the budget and "cells" is
+    both faster and recall-neutral; drop to "tokens" for deliberately
+    coarse-k indexes.
     """
     b, q, d = queries.shape
     kp = dev.centroids.shape[0]

@@ -181,7 +181,7 @@ def run_chip(args):
             n_full_scores=args.full,
             want_tokens=False,
             cand_cap=cand_cap,
-            mem_budget=1 << 30,
+            mem_budget=256 << 20,
         )
 
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]

@@ -176,15 +176,28 @@ def candidates_impl(
     sent_pid = ispec.sentinel_pid
 
     # ---- 1. query-centroid scores: one MXU matmul for the whole tile.
-    scores_qc = jnp.dot(
-        queries.reshape(b * q, d),
-        dev.centroids.T,
-        preferred_element_type=jnp.float32,
-    ).reshape(b, q, kp)
+    # At large Kp this [B, Q, Kp] table is the search program's dominant
+    # temp (1 GB per 64 queries at Kp=128k); bf16 storage halves it. The
+    # table only drives the candidate heuristics (probe ranking, cell
+    # totals) — the final ranking is exact-rescored — so the ~0.4% bf16
+    # relative error is immaterial. f32 below 64k cells to keep small-k
+    # numerics bit-stable.
+    qc_dtype = jnp.bfloat16 if kp >= 65536 else jnp.float32
+    scores_qc = (
+        jnp.dot(
+            queries.reshape(b * q, d),
+            dev.centroids.T,
+            preferred_element_type=jnp.float32,
+        )
+        .reshape(b, q, kp)
+        .astype(qc_dtype)
+    )
 
     # ---- 2. IVF probe.
     cell_valid = jnp.arange(kp) < k_real
-    probe_scores = jnp.where(cell_valid[None, None, :], scores_qc, NEG)
+    probe_scores = jnp.where(
+        cell_valid[None, None, :], scores_qc, jnp.asarray(NEG, qc_dtype)
+    )
     if subset is not None:
         allowed = _allowed_cells_mask(
             dev,
@@ -193,7 +206,9 @@ def candidates_impl(
             kp,
             chunk=max(8, min(subset.shape[1], mem_budget // (4 * b * doc_cap * 4))),
         )
-        probe_scores = jnp.where(allowed[:, None, :], probe_scores, NEG)
+        probe_scores = jnp.where(
+            allowed[:, None, :], probe_scores, jnp.asarray(NEG, qc_dtype)
+        )
     probe = min(n_ivf_probe, kp)
     # TPU-native approximate top-k for the probe (exact top_k over
     # [B, Q, Kp] measured 20x slower at Kp=32k; the probe is a recall
@@ -253,7 +268,9 @@ def candidates_impl(
         # search wall time in gathers/sorts at 57k docs.)
         cells_safe = jnp.clip(cells, 0, kp - 1)
         cell_tot = jnp.sum(
-            jnp.take_along_axis(scores_qc, cells_safe[:, None, :], axis=2),
+            jnp.take_along_axis(
+                scores_qc, cells_safe[:, None, :], axis=2
+            ).astype(jnp.float32),
             axis=1,
         )  # [B, C] (zero-padded query rows contribute exactly 0)
         # Finite value for empty/sentinel segments: their +v/-v telescopes

@@ -93,21 +93,23 @@ def _compress_device(
 
 @functools.partial(jax.jit, static_argnames=("doc_cap",))
 def _layout_docmajor(codes, packed, offsets, lengths, *, doc_cap):
-    """Token-major flats -> doc-major [Np, doc_cap(, PD)] via one gather.
+    """Token-major flats -> doc-major (codes [Np, doc_cap], residuals
+    lane-flattened [Np, doc_cap*PD]) via one gather.
 
     ``offsets``/``lengths`` are [Np] int32 (padding + sentinel rows have
     length 0). Out-of-range slots gather the appended zero row.
     """
     t = codes.shape[0]
+    pd = packed.shape[1]
     codes_pad = jnp.concatenate([codes, jnp.zeros((1,), codes.dtype)])
     packed_pad = jnp.concatenate(
-        [packed, jnp.zeros((1, packed.shape[1]), packed.dtype)]
+        [packed, jnp.zeros((1, pd), packed.dtype)]
     )
     iota = jnp.arange(doc_cap, dtype=jnp.int32)
     idx = jnp.where(
         iota[None, :] < lengths[:, None], offsets[:, None] + iota[None, :], t
     )
-    return codes_pad[idx], packed_pad[idx]
+    return codes_pad[idx], packed_pad[idx].reshape(idx.shape[0], doc_cap * pd)
 
 
 @functools.partial(jax.jit, static_argnames=("kp", "n_docs"))

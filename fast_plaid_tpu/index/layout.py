@@ -53,7 +53,7 @@ class DocBucket(NamedTuple):
     """
 
     codes: jax.Array  # [Nb + 1, cap_b] int32
-    residuals: jax.Array | None  # [Nb + 1, cap_b, PD] uint8
+    residuals: jax.Array | None  # [Nb + 1, cap_b * PD] u8 (lane-flattened)
     emb: jax.Array | None = None  # [Nb + 1, cap_b, D] bf16 cache
 
 
@@ -63,7 +63,11 @@ class DeviceIndex(NamedTuple):
     centroids: jax.Array  # [Kp, D] float32, rows >= K are zero
     bucket_weights: jax.Array  # [2^nbits] float32
     codes: jax.Array  # [Np, doc_cap] int32 doc-major
-    residuals: jax.Array | None  # [Np, doc_cap, PD] uint8 (None in low_memory)
+    # Residuals are stored LANE-FLATTENED [Np, doc_cap * PD] uint8: a
+    # trailing PD (e.g. 64) below the 128-byte TPU lane width would be
+    # tile-padded 2x in HBM (measured 15.3 GB for 7.6 GB of data at 2M
+    # docs). gather_res() restores the [.., doc_cap, PD] view per gather.
+    residuals: jax.Array | None  # [Np, doc_cap * PD] u8 (None in low_memory)
     doc_lengths: jax.Array  # [Np] int32 (0 beyond n_docs)
     ivf: jax.Array  # [Ip] int32 (pids, grouped by cell)
     ivf_offsets: jax.Array  # [Kp + 8] int32
@@ -232,7 +236,9 @@ def to_device(
             dst_b = row_in_bucket[doc_ids[in_b]] * cap_b + within[in_b]
             codes_b.reshape(-1)[dst_b] = codes_np[in_b]
             res_b.reshape(-1, pd)[dst_b] = res_np[in_b]
-            host_buckets.append((codes_b, res_b))
+            host_buckets.append(
+                (codes_b, res_b.reshape(nb + 1, cap_b * pd))
+            )
         # Padding docs and the sentinel resolve to bucket 0's zero row.
         doc_bucket = np.zeros((np_docs,), np.int32)
         doc_bucket[:n_real_docs] = which
@@ -245,6 +251,7 @@ def to_device(
         residuals2d = np.zeros((np_docs, doc_cap, pd), dtype=np.uint8)
         if n_real_docs:
             residuals2d.reshape(-1, pd)[dst] = np.asarray(residuals)[keep]
+        residuals2d = residuals2d.reshape(np_docs, doc_cap * pd)
     else:
         # low_memory: residuals stay in host RAM (flat, possibly mmap) and
         # are streamed per query batch for the rerank stage only (the TPU
@@ -311,6 +318,14 @@ def to_device(
     return dev, spec
 
 
+def gather_res(res_flat: jax.Array, idx: jax.Array, cap: int) -> jax.Array:
+    """Row gather from the lane-flattened residual store.
+
+    [N, cap*PD] taken at [...] indices -> [..., cap, PD] uint8.
+    """
+    return res_flat[idx].reshape(*idx.shape, cap, -1)
+
+
 def emb_cache_bytes(ispec: IndexSpec) -> int:
     """HBM cost of the decompressed-corpus cache for this index."""
     if ispec.bucket_caps:
@@ -367,6 +382,8 @@ def _decompress_2d(codes, residuals, centroids, bucket_weights, *, nbits, block)
     from fast_plaid_tpu.ops import codec as codec_ops
 
     n = codes.shape[0]
+    if residuals.ndim == 2:  # lane-flattened store
+        residuals = residuals.reshape(n, codes.shape[1], -1)
     nb = -(-n // block)
     pad = nb * block - n
     cp = jnp.pad(codes, ((0, pad), (0, 0)))

@@ -102,9 +102,12 @@ def train_global_codec(
 
 @partial(jax.jit, donate_argnums=(0, 1))
 def _write_rows(codes2d, res2d, c_rows, p_rows, d0):
-    """In-place (donated) write of one chunk's doc-major rows at row d0."""
+    """In-place (donated) write of one chunk's doc-major rows at row d0.
+
+    ``res2d``/``p_rows`` are lane-flattened [*, doc_cap*PD].
+    """
     codes2d = jax.lax.dynamic_update_slice(codes2d, c_rows, (d0, 0))
-    res2d = jax.lax.dynamic_update_slice(res2d, p_rows, (d0, 0, 0))
+    res2d = jax.lax.dynamic_update_slice(res2d, p_rows, (d0, 0))
     return codes2d, res2d
 
 
@@ -122,9 +125,10 @@ def _stream_compress_into(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Compress doc chunks straight into doc-major buffers on ``device``.
 
-    Returns (codes2d [np_docs, doc_cap] i32, res2d [np_docs, doc_cap, PD]
-    u8, lengths [np_docs] i32). The final chunk is padded with zero-length
-    rows up to np_docs, so every buffer row is written exactly once.
+    Returns (codes2d [np_docs, doc_cap] i32, res2d lane-flattened
+    [np_docs, doc_cap*PD] u8, lengths [np_docs] i32). The final chunk is
+    padded with zero-length rows up to np_docs, so every buffer row is
+    written exactly once.
     """
     n_docs = len(doc_lengths)
     dim = centroids.shape[1]
@@ -134,7 +138,7 @@ def _stream_compress_into(
     lengths = np.zeros((np_docs,), np.int32)
     lengths[:n_docs] = np.minimum(doc_lengths, doc_cap)
     codes2d = put(jnp.zeros((np_docs, doc_cap), jnp.int32))
-    res2d = put(jnp.zeros((np_docs, doc_cap, pd), jnp.uint8))
+    res2d = put(jnp.zeros((np_docs, doc_cap * pd), jnp.uint8))
     if device is not None:
         centroids = jax.device_put(centroids, device)
         cutoffs = jax.device_put(cutoffs, device)

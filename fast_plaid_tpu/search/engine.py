@@ -31,7 +31,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec
+from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec, gather_res
 from fast_plaid_tpu.ops import codec
 from fast_plaid_tpu.ops.maxsim import maxsim_reduce
 
@@ -496,7 +496,7 @@ def _score_bucket_rows(
         else:
             emb = codec.decompress(
                 bucket.codes[rr],
-                bucket.residuals[rr],
+                gather_res(bucket.residuals, rr, cap_b),
                 dev.centroids,
                 dev.bucket_weights,
                 nbits,
@@ -600,7 +600,7 @@ def _decompress_rows_bucketed(
         else:
             emb = codec.decompress(
                 bucket.codes[rows],
-                bucket.residuals[rows],
+                gather_res(bucket.residuals, rows, cap_b),
                 dev.centroids,
                 dev.bucket_weights,
                 ispec.nbits,
@@ -765,7 +765,7 @@ def search_impl(
             else:
                 emb = codec.decompress(
                     dev.codes[pids],
-                    dev.residuals[pids],
+                    gather_res(dev.residuals, pids, doc_cap),
                     dev.centroids,
                     dev.bucket_weights,
                     ispec.nbits,
@@ -797,7 +797,7 @@ def search_impl(
     else:
         tok = token_matrices(
             dev.codes[safe],
-            dev.residuals[safe],
+            gather_res(dev.residuals, safe, doc_cap),
             valid,
             dev.centroids,
             dev.bucket_weights,
@@ -921,7 +921,7 @@ def reconstruct_core(
     else:
         emb = codec.decompress(
             dev.codes[pids],
-            dev.residuals[pids],
+            gather_res(dev.residuals, pids, ispec.doc_cap),
             dev.centroids,
             dev.bucket_weights,
             ispec.nbits,

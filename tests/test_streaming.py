@@ -95,13 +95,16 @@ class TestStreamingBuild:
         )[:2]
         from fast_plaid_tpu.ops import codec as codec_ops
 
+        res3d = np.asarray(dev.residuals).reshape(
+            dev.codes.shape[0], ispec.doc_cap, -1
+        )
         for qi in range(len(queries)):
             truth = np.full(len(lens), -np.inf, np.float32)
             for d in range(len(lens)):
                 emb = np.asarray(
                     codec_ops.decompress(
                         dev.codes[d, : lens[d]],
-                        dev.residuals[d, : lens[d]],
+                        jnp.asarray(res3d[d, : lens[d]]),
                         dev.centroids,
                         dev.bucket_weights,
                         4,

@@ -26,7 +26,7 @@ def get_index(n_docs: int, dim: int = 128, doc_len: int = 160):
     from fast_plaid_tpu import testing
     from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec
 
-    cache = f"/tmp/fpt_profidx_{n_docs}_{dim}.npz"
+    cache = f"/tmp/fpt_profidx_{n_docs}_{dim}_v2.npz"  # v2: flat residuals
     if os.path.exists(cache):
         z = np.load(cache, allow_pickle=False)
         dev = DeviceIndex(

@@ -156,6 +156,10 @@ def candidates_impl(
       [B, C, Q] probe-score table; no per-token gathers. The rerank pool is
       widened to n_full_scores/2 (instead of the reference's /4) because the
       estimator is coarser; the final ranking is exact either way.
+    * "cells_full": the same estimator computed over EVERY candidate slot
+      with per-query max granularity (no slot-budget truncation) — slower
+      (sorts/scores the full candidate pool) but discriminates inside
+      coarse cells.
     * "tokens" (reference parity, search.rs:554-599): every candidate token
       gathers its centroid's query scores — a tighter estimate but
       gather-descriptor-bound on TPU (~20M rows/s).
@@ -254,7 +258,7 @@ def candidates_impl(
     base_tab = offs - seg_start  # [B, C]
     cell_ids = jnp.arange(c_cells, dtype=jnp.int32)
 
-    if approx_mode == "cells" and subset is None:
+    if approx_mode == "cells" and subset is None:  # fast slot-score path
         # ---- 3/4/5 (cells, fast path). Score SLOTS before ever touching
         # pids: a slot's estimate is its owning cell's total query score
         # (max_c sum_q form of the PLAID stage-1 estimator). Per-slot
@@ -360,11 +364,15 @@ def candidates_impl(
         [jnp.ones((b, 1), bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=-1
     ) & (pid_s != sent_pid)
 
-    if approx_mode == "cells":
+    if approx_mode in ("cells", "cells_full"):
         # ---- 4b. cell-level approximate scoring (PLAID stage-1): a
         # candidate's estimate is sum_q max over the probed cells it
         # occurs in of the query-token/cell score. Only the tiny [B, C, Q]
-        # probe-score table is gathered — no per-token work.
+        # probe-score table is gathered — no per-token work. Unlike the
+        # fast slot-score path above, every candidate slot is scored and
+        # deduped (no 2*n_full_scores truncation), so per-query max
+        # discrimination survives coarse cells ("cells_full" requests this
+        # path explicitly without a subset).
         cells_safe = jnp.clip(cells, 0, kp - 1)
         # Gather along the kp axis directly ([B, Q, C]) so XLA never
         # materializes a [B, kp, Q] transposed copy of the score tensor.

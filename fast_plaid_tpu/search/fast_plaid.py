@@ -479,7 +479,9 @@ class FastPlaid:
 
         ``batch_size`` caps the per-device query tile (a memory hint, as in
         the reference); the engine may pick a smaller tile automatically.
-        approx_mode: "cells" (TPU-native cell-level pruning, default) or
+        approx_mode: "cells" (TPU-native fast slot pruning, default),
+            "cells_full" (untruncated cell estimator for coarse-cell
+            indexes), "auto" (pick by IVF statistics) or
         "tokens" (reference-parity token-level approximate scoring).
         """
         indices, queries, subsets = self._prepare_search(queries_embeddings, subset)

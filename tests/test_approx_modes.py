@@ -23,6 +23,18 @@ def test_modes_agree_on_top_results(test_index_path):
     r_tokens = eng.search(
         queries, top_k=5, show_progress=False, approx_mode="tokens"
     )
+    r_full = eng.search(
+        queries, top_k=5, show_progress=False, approx_mode="cells_full"
+    )
+    r_auto = eng.search(
+        queries, top_k=5, show_progress=False, approx_mode="auto"
+    )
+    for a, b in zip(r_cells, r_full):
+        top = min(len(a), len(b), 3)
+        assert [p for p, _ in a[:top]] == [p for p, _ in b[:top]]
+    for a, b in zip(r_cells, r_auto):
+        top = min(len(a), len(b), 3)
+        assert [p for p, _ in a[:top]] == [p for p, _ in b[:top]]
     for a, b in zip(r_cells, r_tokens):
         # same documents in the same order with identical exact scores
         top = min(len(a), len(b), 3)
@@ -36,7 +48,7 @@ def test_exact_doc_found_in_both_modes(test_index_path):
     docs = random_documents(rng, 30, 12, 32)
     eng = search.FastPlaid(index=test_index_path, device="cpu")
     eng.create(documents_embeddings=docs)
-    for mode in ("cells", "tokens"):
+    for mode in ("cells", "cells_full", "tokens"):
         res = eng.search(
             docs[7][None], top_k=1, show_progress=False, approx_mode=mode
         )

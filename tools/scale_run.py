@@ -182,6 +182,7 @@ def run_chip(args):
             want_tokens=False,
             cand_cap=cand_cap,
             mem_budget=256 << 20,
+            approx_mode=args.approx or "cells",
         )
 
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]
@@ -234,7 +235,7 @@ def main():
     ap.add_argument(
         "--approx",
         default=None,
-        choices=[None, "cells", "tokens"],
+        choices=[None, "cells", "cells_full", "tokens"],
         help="pruning estimator; mesh8 defaults to 'tokens' (coarse-k)",
     )
     args = ap.parse_args()

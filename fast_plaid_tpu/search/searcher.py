@@ -289,17 +289,19 @@ def search_on_device(
         # The fast cells estimator gives every candidate in a probed cell
         # the SAME estimate; once typical candidate counts dwarf the
         # 2*n_full_scores slot budget, its tie-truncation drops winners
-        # arbitrarily (engine.candidates_impl docstring). Use it while the
-        # expected candidate pool is within ~4x the budget; past that,
-        # score every slot with per-query max discrimination
-        # ("cells_full" — the untruncated PLAID stage-1 restricted to
-        # probed cells).
+        # arbitrarily (engine.candidates_impl docstring). Measured on
+        # adversarial uniform-random corpora (tools/scale_run.py planted
+        # probes): hit@1 = 1.0 at ~48k expected candidates (57k docs) but
+        # 0.125 at ~218k (2M docs). Use the fast path up to 32x the
+        # n_full_scores budget; past that, score every slot with
+        # per-query max discrimination ("cells_full" — the untruncated
+        # PLAID stage-1 restricted to probed cells).
         approx_mode = "cells"
         if loaded.ivf_lengths_host is not None:
             lens_h = np.asarray(loaded.ivf_lengths_host, np.float64)
             n_cells = min(q_cap * n_ivf_probe, max(ispec.n_partitions, 1))
             expected = float(lens_h.mean()) * n_cells
-            if expected > 8.0 * n_full_scores:
+            if expected > 32.0 * n_full_scores:
                 approx_mode = "cells_full"
     b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
     if cand_cap is not None:

@@ -437,6 +437,13 @@ def search_on_device(
             and not loaded.dev.buckets
             and os.environ.get("FASTPLAID_NO_RERANK_KERNEL") != "1"
         )
+        # Dispatch ahead of conversion: emit() forces a device->host sync,
+        # so converting tile i only after tile i+1 is dispatched keeps the
+        # device busy (on remote-attached devices the per-sync round trip
+        # otherwise dominates small-tile throughput).
+        from collections import deque
+
+        inflight: deque = deque()
         for start in iterator:
             end, tile_dev, sub_dev = make_tile(start)
             out = search_core(
@@ -454,7 +461,11 @@ def search_on_device(
                 with_stats=True,
                 use_rerank_kernel=use_kernel,
             )
-            emit(out, start, end)
+            inflight.append((out, start, end))
+            if len(inflight) >= 3:
+                emit(*inflight.popleft())
+        while inflight:
+            emit(*inflight.popleft())
 
     import threading
 

@@ -291,17 +291,18 @@ def search_on_device(
         # 2*n_full_scores slot budget, its tie-truncation drops winners
         # arbitrarily (engine.candidates_impl docstring). Measured on
         # adversarial uniform-random corpora (tools/scale_run.py planted
-        # probes): hit@1 = 1.0 at ~48k expected candidates (57k docs) but
-        # 0.125 at ~218k (2M docs). Use the fast path up to 32x the
-        # n_full_scores budget; past that, score every slot with
-        # per-query max discrimination ("cells_full" — the untruncated
-        # PLAID stage-1 restricted to probed cells).
+        # probes, hit@1): 1.0 at 12x the n_full_scores budget (57k docs),
+        # 0.75 at 24x (523k), 0.125 at 53x (2M). Recall-first crossover
+        # at 16x: past it, score every slot with per-query max
+        # discrimination ("cells_full" — the untruncated PLAID stage-1
+        # restricted to probed cells). Speed-sensitive callers on
+        # clustered real-embedding corpora can pass "cells" explicitly.
         approx_mode = "cells"
         if loaded.ivf_lengths_host is not None:
             lens_h = np.asarray(loaded.ivf_lengths_host, np.float64)
             n_cells = min(q_cap * n_ivf_probe, max(ispec.n_partitions, 1))
             expected = float(lens_h.mean()) * n_cells
-            if expected > 32.0 * n_full_scores:
+            if expected > 16.0 * n_full_scores:
                 approx_mode = "cells_full"
     b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
     if cand_cap is not None:

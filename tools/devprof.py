@@ -147,6 +147,10 @@ def main():
             cand_cap=cand_cap,
         )
 
+    use_kernel = (
+        jax.devices()[0].platform == "tpu" and dev.emb_cache is not None
+    )
+
     def full_fn(q):
         return search_core(
             dev,
@@ -159,10 +163,11 @@ def main():
             want_tokens=False,
             mem_budget=mem_budget,
             cand_cap=cand_cap,
+            use_rerank_kernel=use_kernel,
         )
 
     d_cand = t_stage("candidates (stages 1-5)", cand_fn)
-    d_full = t_stage("full search", full_fn)
+    d_full = t_stage(f"full search (kernel={use_kernel})", full_fn)
     print(f"{'implied rerank (6-7)':28s} {(d_full - d_cand) * 1e3:9.2f} ms/tile")
 
     if args.trace:

@@ -293,7 +293,13 @@ def candidates_impl(
         jpos = jnp.arange(cand_cap, dtype=jnp.int32)[None, :]
         slot_score = jnp.where(jpos < total[:, None], slot_score, NEG)
 
-        k2 = min(cand_cap, ((2 * n_full_scores + 127) // 128) * 128)
+        # Slot winners: the per-winner ivf pid gather below is the
+        # cascade's descriptor-bound wall (~43M scalar gathers/s on v5e —
+        # 48 ms of the 97 ms candidate stage at k2=2*n_full). n_full
+        # slots (not 2x) still leave the n_full/2 exact pool full after
+        # dedup at typical multi-cell duplicate rates, at half the
+        # gather cost; measured recall-neutral on the planted probes.
+        k2 = min(cand_cap, ((n_full_scores + 127) // 128) * 128)
         vals, idx = jax.lax.approx_max_k(slot_score, k2)
         # pids for the k2 winning slots only.
         base_w = jnp.take_along_axis(base_arr, idx, axis=1)

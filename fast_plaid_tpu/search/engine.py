@@ -184,9 +184,9 @@ def candidates_impl(
     # temp (1 GB per 64 queries at Kp=128k); bf16 storage halves it. The
     # table only drives the candidate heuristics (probe ranking, cell
     # totals) — the final ranking is exact-rescored — so the ~0.4% bf16
-    # relative error is immaterial. f32 below 64k cells to keep small-k
+    # relative error is immaterial. f32 below 32k cells to keep small-k
     # numerics bit-stable.
-    qc_dtype = jnp.bfloat16 if kp >= 65536 else jnp.float32
+    qc_dtype = jnp.bfloat16 if kp >= 32768 else jnp.float32
     scores_qc = (
         jnp.dot(
             queries.reshape(b * q, d),

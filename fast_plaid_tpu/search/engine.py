@@ -320,16 +320,19 @@ def candidates_impl(
             [jnp.ones((b, 1), bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=-1
         ) & (pid_s != sent_pid)
         approx = jnp.where(is_start, val_s, NEG)
-        cand_for_prune = pid_s
-        pool_divisor = 2  # coarser estimator -> wider exact-rerank pool
 
-        # ---- 5. prune: top n_full_scores, then the exact-rerank pool.
-        k1 = min(n_full_scores, approx.shape[1])
-        s1, i1 = jax.lax.top_k(approx, k1)
-        p1 = jnp.take_along_axis(cand_for_prune, i1, axis=1)
-        p1 = jnp.where(jnp.isneginf(s1), sent_pid, p1)
-        r = min(max(n_full_scores // pool_divisor, 1), k1)
-        p2 = p1[:, :r]
+        # ---- 5. prune straight to the exact-rerank pool (n_full/2, the
+        # widened pool for this coarser estimator). With k2 == n_full an
+        # exact top_k here is a full 4k-of-4k sort whose order the exact
+        # rerank re-derives anyway; approx_max_k selects the pool
+        # directly.
+        r = min(max(n_full_scores // 2, 1), k2)
+        s1, i1 = jax.lax.approx_max_k(approx, r)
+        p2 = jnp.where(
+            jnp.isneginf(s1),
+            sent_pid,
+            jnp.take_along_axis(pid_s, i1, axis=1),
+        )
         if with_stats:
             dropped = jnp.maximum(total - cand_cap, 0).astype(jnp.int32)
             return p2, dropped

@@ -299,8 +299,21 @@ def candidates_impl(
         # slots (not 2x) still leave the n_full/2 exact pool full after
         # dedup at typical multi-cell duplicate rates, at half the
         # gather cost; measured recall-neutral on the planted probes.
-        k2 = min(cand_cap, ((n_full_scores + 127) // 128) * 128)
-        vals, idx = jax.lax.approx_max_k(slot_score, k2)
+        # Exhaustive parameters (full probe / corpus-covering pool) are a
+        # correctness contract — results must equal brute force — so no
+        # slot may be truncated and every selection stays exact.
+        exhaustive = (
+            n_ivf_probe >= k_real or n_full_scores >= 2 * ispec.n_docs
+        )
+        k2 = (
+            cand_cap
+            if exhaustive
+            else min(cand_cap, ((n_full_scores + 127) // 128) * 128)
+        )
+        if exhaustive:
+            vals, idx = jax.lax.top_k(slot_score, k2)
+        else:
+            vals, idx = jax.lax.approx_max_k(slot_score, k2)
         # pids for the k2 winning slots only.
         base_w = jnp.take_along_axis(base_arr, idx, axis=1)
         src = jnp.clip(base_w + idx, 0, dev.ivf.shape[0] - 1)
@@ -325,9 +338,14 @@ def candidates_impl(
         # widened pool for this coarser estimator). With k2 == n_full an
         # exact top_k here is a full 4k-of-4k sort whose order the exact
         # rerank re-derives anyway; approx_max_k selects the pool
-        # directly.
+        # directly. Exception: under exhaustive parameters (see above)
+        # callers rely on exact-equals-brute-force results, so selection
+        # must be exact too.
         r = min(max(n_full_scores // 2, 1), k2)
-        s1, i1 = jax.lax.approx_max_k(approx, r)
+        if exhaustive:
+            s1, i1 = jax.lax.top_k(approx, r)
+        else:
+            s1, i1 = jax.lax.approx_max_k(approx, r)
         p2 = jnp.where(
             jnp.isneginf(s1),
             sent_pid,

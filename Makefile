@@ -19,3 +19,11 @@ lint:
 clean:
 	rm -f fast_plaid_tpu/native/_fastplaid_native.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+wheel:
+	python -m pip wheel . --no-deps --no-build-isolation -w dist/
+
+sdist:
+	python -m pip install --quiet build 2>/dev/null && python -m build --sdist || \
+		python setup.py sdist 2>/dev/null || \
+		echo "sdist requires the 'build' package"

@@ -42,7 +42,7 @@ _LAST_STATS: dict[int, dict] = {}
 
 def last_search_stats() -> dict:
     """Stats from the most recent search on the calling thread:
-    {"dropped_candidate_slots": int, "queries": int}."""
+    {"dropped_candidate_slots": int, "queries": int, "approx_mode": str}."""
     import threading
 
     return dict(
@@ -473,6 +473,7 @@ def search_on_device(
     _LAST_STATS[threading.get_ident()] = {
         "dropped_candidate_slots": dropped_total,
         "queries": nq,
+        "approx_mode": approx_mode,  # resolved ("auto" -> actual choice)
     }
     if dropped_total:
         import warnings

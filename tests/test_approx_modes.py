@@ -53,3 +53,28 @@ def test_exact_doc_found_in_both_modes(test_index_path):
             docs[7][None], top_k=1, show_progress=False, approx_mode=mode
         )
         assert res[0][0][0] == 7
+
+
+def test_auto_mode_selection(test_index_path):
+    """auto resolves to the fast path on fine cells and to cells_full when
+    IVF statistics say the candidate pool dwarfs the slot budget."""
+    import numpy as np
+
+    from fast_plaid_tpu.search.searcher import last_search_stats
+
+    rng = np.random.default_rng(5)
+    docs = random_documents(rng, 60, 10, 32)
+    eng = search.FastPlaid(index=test_index_path, device="cpu")
+    eng.create(documents_embeddings=docs)
+    queries = random_queries(rng, 2, 4, 32)
+
+    eng.search(queries, top_k=3, show_progress=False, approx_mode="auto")
+    assert last_search_stats()["approx_mode"] == "cells"
+
+    # Tiny n_full_scores makes the same IVF look coarse: expected
+    # candidates exceed 16x the budget -> the untruncated estimator.
+    eng.search(
+        queries, top_k=1, show_progress=False, approx_mode="auto",
+        n_full_scores=1,
+    )
+    assert last_search_stats()["approx_mode"] == "cells_full"

@@ -378,24 +378,29 @@ def build_emb_cache(
 
 @functools.partial(jax.jit, static_argnames=("nbits", "block"))
 def _decompress_2d(codes, residuals, centroids, bucket_weights, *, nbits, block):
-    """Decompress a whole [N, cap(, PD)] doc-major array in ``block`` chunks."""
+    """Decompress a whole [N, cap(, PD)] doc-major array in ``block`` chunks.
+
+    Blocks are read with clamped dynamic slices instead of padding the
+    inputs to a block multiple — jnp.pad would COPY the full residual
+    array (+GBs at exactly the moment the output cache is also live;
+    measured OOM at 523k docs). The final block's clamp re-reads tail
+    rows whose decompressed values are sliced away.
+    """
     from fast_plaid_tpu.ops import codec as codec_ops
 
-    n = codes.shape[0]
-    if residuals.ndim == 2:  # lane-flattened store
-        residuals = residuals.reshape(n, codes.shape[1], -1)
+    n, cap = codes.shape
+    res_flat = residuals.reshape(n, -1)  # lane-flattened or [N, cap, PD]
+    pd = res_flat.shape[1] // cap
     nb = -(-n // block)
-    pad = nb * block - n
-    cp = jnp.pad(codes, ((0, pad), (0, 0)))
-    rp = jnp.pad(residuals, ((0, pad), (0, 0), (0, 0)))
-    bc = cp.reshape(nb, block, *codes.shape[1:])
-    br = rp.reshape(nb, block, *residuals.shape[1:])
 
-    def one(args):
-        cc, rr = args
+    def one(i):
+        cc = jax.lax.dynamic_slice(codes, (i * block, 0), (block, cap))
+        rr = jax.lax.dynamic_slice(
+            res_flat, (i * block, 0), (block, cap * pd)
+        ).reshape(block, cap, pd)
         return codec_ops.decompress(
             cc, rr, centroids, bucket_weights, nbits, out_dtype=jnp.bfloat16
         )
 
-    out = jax.lax.map(one, (bc, br))
-    return out.reshape(nb * block, *out.shape[2:])[:n]
+    out = jax.lax.map(one, jnp.arange(nb, dtype=jnp.int32))
+    return out.reshape(nb * block, cap, -1)[:n]

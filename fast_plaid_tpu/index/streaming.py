@@ -225,6 +225,7 @@ def build_memory_index_streaming(
     codec_params: DeviceCodec | None = None,
     chunk_docs: int = 100_000,
     kmeans_niters: int = 4,
+    sample_docs: int | None = None,
     seed: int = 42,
     emb_cache: bool = False,
     verbose: bool = False,
@@ -250,6 +251,7 @@ def build_memory_index_streaming(
             nbits=nbits,
             k=k,
             kmeans_niters=kmeans_niters,
+            sample_docs=sample_docs,
             seed=seed,
         )
         t0 = mark(f"codec+kmeans k={k}", t0)
@@ -321,6 +323,7 @@ def build_sharded_index_streaming(
     codec_params: DeviceCodec | None = None,
     chunk_docs: int = 100_000,
     kmeans_niters: int = 4,
+    sample_docs: int | None = None,
     seed: int = 42,
     verbose: bool = False,
 ):
@@ -347,6 +350,7 @@ def build_sharded_index_streaming(
             nbits=nbits,
             k=k,
             kmeans_niters=kmeans_niters,
+            sample_docs=sample_docs,
             seed=seed,
         )
     else:

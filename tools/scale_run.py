@@ -150,11 +150,28 @@ def run_chip(args):
         nbits=args.nbits,
         k=args.k,
         chunk_docs=args.chunk_docs,
+        sample_docs=args.sample_docs,
         verbose=True,
     )
     jax.block_until_ready(dev.residuals)
+    if args.emb_cache:
+        import gc
+
+        gc.collect()  # drop build temporaries before the big cache alloc
+        from fast_plaid_tpu.index.layout import build_emb_cache
+
+        if args.free_residuals:
+            # Rerank/token paths read only the cache; freeing the packed
+            # residuals buys HBM headroom for the cache at large corpora
+            # (get_embeddings' full-precision decompression is then
+            # unavailable in this process).
+            cache_dev = build_emb_cache(dev, ispec)
+            dev = cache_dev._replace(residuals=None)
+        else:
+            dev = build_emb_cache(dev, ispec)
+        jax.block_until_ready(dev.emb_cache)
     build_s = time.perf_counter() - t0
-    print(f"# build: {build_s:.1f}s  {ispec}")
+    print(f"# build: {build_s:.1f}s  {ispec} emb_cache={args.emb_cache}")
 
     ivf_lengths = np.asarray(dev.ivf_lengths)
     q_len = 32
@@ -170,6 +187,10 @@ def run_chip(args):
         q = jax.random.normal(key, (tile_b, q_len, args.dim), jnp.float32)
         return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
+    use_kernel = (
+        jax.devices()[0].platform == "tpu" and dev.emb_cache is not None
+    )
+
     def run(batch):
         return search_core(
             dev,
@@ -183,6 +204,7 @@ def run_chip(args):
             cand_cap=cand_cap,
             mem_budget=256 << 20,
             approx_mode=args.approx or "cells",
+            use_rerank_kernel=use_kernel,
         )
 
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]
@@ -232,6 +254,9 @@ def main():
     ap.add_argument("--probe", type=int, default=8)
     ap.add_argument("--full", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--emb-cache", action="store_true")
+    ap.add_argument("--sample-docs", type=int, default=None)
+    ap.add_argument("--free-residuals", action="store_true")
     ap.add_argument(
         "--approx",
         default=None,

@@ -9,11 +9,19 @@ Here both modes are SPMD programs over a device mesh:
   by document across chips, each chip searches its shard, and per-chip
   top-k merge rides an ICI all-gather (k * B floats+ids, tiny);
 * query sharding (parallel/sharded.py: query_sharded_search): index
-  replicated, the query batch partitioned by the compiler via shardings.
+  replicated, the query batch partitioned by the compiler via shardings;
+* 2-D (replica x shard) meshes (parallel/mesh2d.py): doc-sharded groups
+  replicated along a second axis that splits the query batch — capacity
+  and throughput scaling composed, with shard-group-local collectives.
 """
 
 from fast_plaid_tpu.parallel.api import ShardedFastPlaid
 from fast_plaid_tpu.parallel.mesh import make_mesh
+from fast_plaid_tpu.parallel.mesh2d import (
+    make_mesh_2d,
+    replicate_sharded_index,
+    sharded_search_2d,
+)
 from fast_plaid_tpu.parallel.sharded import (
     ShardedIndex,
     build_sharded_index,
@@ -28,4 +36,7 @@ __all__ = [
     "build_sharded_index",
     "sharded_search",
     "query_sharded_search",
+    "make_mesh_2d",
+    "replicate_sharded_index",
+    "sharded_search_2d",
 ]

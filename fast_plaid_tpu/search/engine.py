@@ -258,18 +258,15 @@ def candidates_impl(
     base_tab = offs - seg_start  # [B, C]
     cell_ids = jnp.arange(c_cells, dtype=jnp.int32)
 
-    if approx_mode == "cells" and subset is None:  # fast slot-score path
-        # ---- 3/4/5 (cells, fast path). Score SLOTS before ever touching
-        # pids: a slot's estimate is its owning cell's total query score
-        # (max_c sum_q form of the PLAID stage-1 estimator). Per-slot
-        # tables (score, ivf base) are piecewise-constant over the abutting
-        # probed-cell segments, so they're built by scattering +v/-v at
-        # segment boundaries and taking a cumsum — no per-slot gather, no
-        # [B, J, C] ownership compare. The IVF pid gather and the dedup
-        # sort then shrink from cand_cap (tens of thousands) to the
-        # 2*n_full_scores slot winners picked by the TPU-native
-        # approx_max_k. (The previous sum_q max_c variant spent ~90% of
-        # search wall time in gathers/sorts at 57k docs.)
+    if approx_mode == "cells" and subset is None:  # fast cell-window path
+        # ---- 3/4/5 (cells, fast path). Selection is CELL-granular: under
+        # this estimator every doc in a cell shares the cell's total query
+        # score, so slot-level selection could only split ties arbitrarily
+        # (the recall cliff the cells_full/auto modes exist for). Cells
+        # are ordered by total score and taken whole until the slot budget
+        # fills; their IVF windows arrive via one dynamic-slice row gather
+        # per (query, cell) — ~65k 1KB descriptors instead of a per-slot
+        # scalar pid gather (~1M descriptors at ~43M/s, the previous wall).
         cells_safe = jnp.clip(cells, 0, kp - 1)
         cell_tot = jnp.sum(
             jnp.take_along_axis(
@@ -277,53 +274,50 @@ def candidates_impl(
             ).astype(jnp.float32),
             axis=1,
         )  # [B, C] (zero-padded query rows contribute exactly 0)
-        # Finite value for empty/sentinel segments: their +v/-v telescopes
-        # away under cumsum (seg_start == seg_end), and -inf would nan.
-        ct_safe = jnp.where(cells == kp, 0.0, cell_tot)
-        bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
-        delta = jnp.zeros((b, cand_cap), jnp.float32)
-        delta = delta.at[bidx, seg_start].add(ct_safe, mode="drop")
-        delta = delta.at[bidx, seg_end].add(-ct_safe, mode="drop")
-        slot_score = jnp.cumsum(delta, axis=-1)
-        base_i32 = base_tab.astype(jnp.int32)
-        dbase = jnp.zeros((b, cand_cap), jnp.int32)
-        dbase = dbase.at[bidx, seg_start].add(base_i32, mode="drop")
-        dbase = dbase.at[bidx, seg_end].add(-base_i32, mode="drop")
-        base_arr = jnp.cumsum(dbase, axis=-1)
-        jpos = jnp.arange(cand_cap, dtype=jnp.int32)[None, :]
-        slot_score = jnp.where(jpos < total[:, None], slot_score, NEG)
+        cell_tot = jnp.where(cells == kp, NEG, cell_tot)
+        order2 = jnp.argsort(-cell_tot, axis=-1)
+        ct_s = jnp.take_along_axis(cell_tot, order2, axis=-1)
+        offs_s = jnp.take_along_axis(offs, order2, axis=-1)
+        lens_s = jnp.take_along_axis(lens, order2, axis=-1)
 
-        # Slot winners: the per-winner ivf pid gather below is the
-        # cascade's descriptor-bound wall (~43M scalar gathers/s on v5e —
-        # 48 ms of the 97 ms candidate stage at k2=2*n_full). n_full
-        # slots (not 2x) still leave the n_full/2 exact pool full after
-        # dedup at typical multi-cell duplicate rates, at half the
-        # gather cost; measured recall-neutral on the planted probes.
         # Exhaustive parameters (full probe / corpus-covering pool) are a
         # correctness contract — results must equal brute force — so no
-        # slot may be truncated and every selection stays exact.
+        # implicit budget applies (an EXPLICIT cand_cap still caps, with
+        # the drop counted) and every selection stays exact.
         exhaustive = (
             n_ivf_probe >= k_real or n_full_scores >= 2 * ispec.n_docs
         )
-        k2 = (
-            cand_cap
-            if exhaustive
-            else min(cand_cap, ((n_full_scores + 127) // 128) * 128)
-        )
+        k2 = min(cand_cap, ((n_full_scores + 127) // 128) * 128)
+        budget = cand_cap if exhaustive else k2
         if exhaustive:
-            vals, idx = jax.lax.top_k(slot_score, k2)
+            c_sel = c_cells
         else:
-            vals, idx = jax.lax.approx_max_k(slot_score, k2)
-        # pids for the k2 winning slots only.
-        base_w = jnp.take_along_axis(base_arr, idx, axis=1)
-        src = jnp.clip(base_w + idx, 0, dev.ivf.shape[0] - 1)
-        pid = jnp.where(jnp.isneginf(vals), sent_pid, dev.ivf[src])
+            typical = max(1, cand_cap // max(c_cells, 1))
+            c_sel = min(c_cells, max(8, -(-2 * k2 // typical)))
+        ct_s = ct_s[:, :c_sel]
+        offs_s = offs_s[:, :c_sel]
+        lens_s = lens_s[:, :c_sel]
+        csum = jnp.cumsum(lens_s, axis=-1)
+        cell_ok = (csum - lens_s) < budget  # whole cells until the budget
 
-        # Dedup multi-cell docs: sort winners by pid, keep the max score
-        # of each run (backward doubling), score only the run head.
+        win = jax.vmap(
+            jax.vmap(
+                lambda o: jax.lax.dynamic_slice(dev.ivf, (o,), (cell_cap,))
+            )
+        )(offs_s)  # [B, c_sel, cell_cap]
+        iota_cc = jnp.arange(cell_cap, dtype=jnp.int32)
+        valid = (
+            iota_cc[None, None, :] < lens_s[..., None]
+        ) & cell_ok[..., None]
+        width = c_sel * cell_cap
+        pid = jnp.where(valid, win, sent_pid).reshape(b, width)
+        vals = jnp.where(valid, ct_s[..., None], NEG).reshape(b, width)
+
+        # ---- 4. dedup multi-cell docs: sort by pid, keep each run's max
+        # score (backward doubling), score only the run head.
         pid_s, val_s = jax.lax.sort((pid, vals), dimension=-1, num_keys=1)
         step = 1
-        while step < k2:
+        while step < width:
             eq = pid_s[:, :-step] == pid_s[:, step:]
             val_s = val_s.at[:, :-step].max(
                 jnp.where(eq, val_s[:, step:], NEG)
@@ -335,13 +329,9 @@ def candidates_impl(
         approx = jnp.where(is_start, val_s, NEG)
 
         # ---- 5. prune straight to the exact-rerank pool (n_full/2, the
-        # widened pool for this coarser estimator). With k2 == n_full an
-        # exact top_k here is a full 4k-of-4k sort whose order the exact
-        # rerank re-derives anyway; approx_max_k selects the pool
-        # directly. Exception: under exhaustive parameters (see above)
-        # callers rely on exact-equals-brute-force results, so selection
-        # must be exact too.
-        r = min(max(n_full_scores // 2, 1), k2)
+        # widened pool for this coarser estimator); an exact top_k here
+        # would only re-derive an order the exact rerank recomputes.
+        r = min(max(n_full_scores // 2, 1), width)
         if exhaustive:
             s1, i1 = jax.lax.top_k(approx, r)
         else:
@@ -352,7 +342,8 @@ def candidates_impl(
             jnp.take_along_axis(pid_s, i1, axis=1),
         )
         if with_stats:
-            dropped = jnp.maximum(total - cand_cap, 0).astype(jnp.int32)
+            kept = jnp.sum(jnp.where(cell_ok, lens_s, 0), axis=-1)
+            dropped = jnp.maximum(total - kept, 0).astype(jnp.int32)
             return p2, dropped
         return p2
 

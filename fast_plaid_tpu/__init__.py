@@ -39,8 +39,18 @@ def _enable_compile_cache() -> None:
     try:
         import jax
 
+        # Segregate the cache by compile environment: artifacts produced
+        # through a remote-compile service (e.g. the axon TPU tunnel,
+        # which AOT-compiles for the *service's* machine) must never be
+        # deserialized by a plain local run — XLA's cpu_aot_loader warns
+        # about mismatched machine features and may SIGILL.
+        remote = bool(
+            os.environ.get("PALLAS_AXON_REMOTE_COMPILE")
+            or "axon" in os.environ.get("JAX_PLATFORMS", "")
+        )
+        tag = "remote" if remote else "local"
         path = os.path.join(
-            os.path.expanduser("~"), ".cache", "fast_plaid_tpu", "xla"
+            os.path.expanduser("~"), ".cache", "fast_plaid_tpu", f"xla-{tag}"
         )
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

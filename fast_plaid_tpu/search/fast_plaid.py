@@ -410,7 +410,7 @@ class FastPlaid:
         n_full_scores: int,
         n_ivf_probe: int,
         show_progress: bool,
-        approx_mode: str = "cells",
+        approx_mode: str = "auto",
         max_tile: int | None = None,
     ) -> list:
         """Split the query batch across devices (fast_plaid.py:797-928)."""
@@ -473,16 +473,18 @@ class FastPlaid:
         show_progress: bool = True,
         subset: list[list[int]] | list[int] | None = None,
         n_processes: int | None = None,  # noqa: ARG002 - API parity
-        approx_mode: str = "cells",
+        approx_mode: str = "auto",
     ) -> list[list[tuple[int, float]]]:
         """Search the index; returns per query a list of (doc_id, score).
 
         ``batch_size`` caps the per-device query tile (a memory hint, as in
         the reference); the engine may pick a smaller tile automatically.
-        approx_mode: "cells" (TPU-native fast slot pruning, default),
-            "cells_full" (untruncated cell estimator for coarse-cell
-            indexes), "auto" (pick by IVF statistics) or
-        "tokens" (reference-parity token-level approximate scoring).
+        approx_mode: "auto" (default — picks the recall-safe estimator
+            from IVF statistics; resolves to "cells" below the measured
+            crossover and "cells_full" past it), "cells" (the explicit
+            TPU-native fast slot-pruning path), "cells_full" (untruncated
+            cell estimator for coarse-cell indexes) or "tokens"
+            (reference-parity token-level approximate scoring).
         """
         indices, queries, subsets = self._prepare_search(queries_embeddings, subset)
         return self._dispatch_search(
@@ -508,7 +510,7 @@ class FastPlaid:
         show_progress: bool = True,
         subset: list[list[int]] | list[int] | None = None,
         n_processes: int | None = None,  # noqa: ARG002
-        approx_mode: str = "cells",
+        approx_mode: str = "auto",
     ) -> list[list[tuple[int, float, np.ndarray]]]:
         """Like search() but each tuple carries a [q_tokens, doc_tokens] matrix."""
         indices, queries, subsets = self._prepare_search(queries_embeddings, subset)

@@ -277,7 +277,43 @@ def search_on_device(
         raise ValueError(msg)
     if not queries:
         return []
-    batch, q_lens = _pad_queries(queries, ispec.dim)
+    # Per-query failure containment (reference behavior: a failing query
+    # yields an empty result instead of aborting the batch,
+    # rust/search/search.rs:252-268). A malformed or non-finite query is
+    # zeroed out of the tile and reported as an empty result row, so one
+    # poisoned query can't take down its whole batched tile.
+    bad_queries: set[int] = set()
+    cleaned: list[np.ndarray] = []
+    for qi, q in enumerate(queries):
+        a = np.asarray(q, dtype=np.float32)
+        if a.ndim != 2 or a.shape[-1] != ispec.dim or not np.isfinite(a).all():
+            bad_queries.add(qi)
+            cleaned.append(np.zeros((0, ispec.dim), np.float32))
+        else:
+            cleaned.append(a)
+    if len(bad_queries) == len(queries):
+        # Uniformly malformed input is a caller error, not a per-query
+        # failure — raise (e.g. every query has the wrong dimension).
+        shapes = sorted({tuple(np.asarray(q).shape) for q in queries})
+        msg = (
+            f"All queries are invalid: expected [tokens, {ispec.dim}] "
+            f"finite embeddings matching the index dimension; got shapes "
+            f"{shapes[:4]}."
+        )
+        raise ValueError(msg)
+    if bad_queries:
+        import warnings
+
+        preview = sorted(bad_queries)[:8]
+        warnings.warn(
+            f"{len(bad_queries)} quer{'y' if len(bad_queries) == 1 else 'ies'} "
+            f"(indices {preview}{'...' if len(bad_queries) > 8 else ''}) had "
+            f"non-finite values or a shape other than [tokens, {ispec.dim}]; "
+            "returning empty results for them",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    batch, q_lens = _pad_queries(cleaned, ispec.dim)
     nq, q_cap, _ = batch.shape
     cand_cap = None
     if loaded.ivf_lengths_host is not None:
@@ -354,13 +390,30 @@ def search_on_device(
 
     def emit(out, start: int, end: int) -> None:
         nonlocal dropped_total
-        if want_tokens:
-            pids, scores, tok, doc_lens, dropped = (np.asarray(x) for x in out)
-        else:
-            pids, scores, dropped = (np.asarray(x) for x in out)
-            tok = doc_lens = None
+        try:
+            if want_tokens:
+                pids, scores, tok, doc_lens, dropped = (
+                    np.asarray(x) for x in out
+                )
+            else:
+                pids, scores, dropped = (np.asarray(x) for x in out)
+                tok = doc_lens = None
+        except Exception as exc:  # device-side failure: contain to this tile
+            import warnings
+
+            warnings.warn(
+                f"search failed for queries [{start}, {end}) — returning "
+                f"empty results for them: {exc}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            results.extend([[] for _ in range(end - start)])
+            return
         dropped_total += int(dropped[: end - start].sum())
         for bi in range(end - start):
+            if (start + bi) in bad_queries:
+                results.append([])
+                continue
             qlen = q_lens[start + bi]
             row = []
             for ki in range(pids.shape[1]):
@@ -392,18 +445,26 @@ def search_on_device(
             rows = host_gather_rows(loaded, np.asarray(p2))
             return start, end, tile_dev, p2, dropped, rows
 
-        def finish_stage(g) -> None:
-            start, end, tile_dev, p2, dropped, rows = g
-            out = _lm_finish(
-                loaded,
-                tile_dev,
-                p2,
-                dropped,
-                rows,
-                top_k=top_k,
-                want_tokens=want_tokens,
-                mem_budget=mem_budget,
-            )
+        def finish_stage(start: int, end: int, fut) -> None:
+            try:
+                out = _lm_finish(
+                    loaded,
+                    *fut.result()[2:],
+                    top_k=top_k,
+                    want_tokens=want_tokens,
+                    mem_budget=mem_budget,
+                )
+            except Exception as exc:  # contain gather/rerank failure to tile
+                import warnings
+
+                warnings.warn(
+                    f"search failed for queries [{start}, {end}) — returning "
+                    f"empty results for them: {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                results.extend([[] for _ in range(end - start)])
+                return
             emit(out, start, end)
 
         with ThreadPoolExecutor(max_workers=1) as pool:
@@ -421,14 +482,18 @@ def search_on_device(
                     approx_mode=approx_mode,
                 )
                 inflight.append(
-                    pool.submit(
-                        gather_stage, (start, end, tile_dev, p2, dropped)
+                    (
+                        start,
+                        end,
+                        pool.submit(
+                            gather_stage, (start, end, tile_dev, p2, dropped)
+                        ),
                     )
                 )
                 if len(inflight) >= 2:
-                    finish_stage(inflight.popleft().result())
+                    finish_stage(*inflight.popleft())
             while inflight:
-                finish_stage(inflight.popleft().result())
+                finish_stage(*inflight.popleft())
     else:
         # Fused Pallas rerank (gather+MaxSim in one VMEM pass) whenever the
         # decompressed-corpus cache is resident on a real TPU.

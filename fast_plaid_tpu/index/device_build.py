@@ -197,7 +197,12 @@ def build_memory_index_device(
         train_kmeans,
     )
 
-    def mark(name, t0):
+    def mark(name, t0, *wait):
+        # Block on the phase's outputs so per-phase walltimes are honest
+        # (async dispatch otherwise attributes a phase's execution to
+        # whichever later phase first forces a host sync).
+        if wait:
+            jax.block_until_ready(wait)
         if verbose:
             print(
                 f"#   build phase {name}: {time.perf_counter() - t0:.1f}s",
@@ -216,17 +221,17 @@ def build_memory_index_device(
 
     centroids = train_kmeans(flat, k=k, niters=kmeans_niters, seed=seed)
     centroids = jnp.asarray(centroids)  # device already if flat was
-    t0 = mark(f"kmeans k={k}", t0)
+    t0 = mark(f"kmeans k={k}", t0, centroids)
 
     heldout_n = min(50_000, t)
     hsel = np.sort(rng.choice(t, heldout_n, replace=False))
     params = train_codec_device(flat[jnp.asarray(hsel)], centroids, nbits)
-    t0 = mark("codec", t0)
+    t0 = mark("codec", t0, params)
 
     codes, packed = _compress_device(
         flat, centroids, params.bucket_cutoffs, nbits
     )
-    t0 = mark("compress", t0)
+    t0 = mark("compress", t0, (codes, packed))
 
     # Doc-major layout (sentinel + 8-alignment as layout.to_device).
     doc_cap = round_up(max(int(doc_lengths.max()) if n_docs else 1, 1), 16)
@@ -240,7 +245,7 @@ def build_memory_index_device(
     codes2d, res2d = _layout_docmajor(
         codes, packed, offsets_dev, lengths_dev, doc_cap=doc_cap
     )
-    t0 = mark("layout", t0)
+    t0 = mark("layout", t0, (codes2d, res2d))
 
     kp = round_up(max(k, 1), 128)
     if (kp + 1) * (n_docs + 1) < 2**31:
@@ -295,5 +300,5 @@ def build_memory_index_device(
     )
     if emb_cache:
         dev = build_emb_cache(dev, ispec)
-        t0 = mark("emb_cache", t0)
+        t0 = mark("emb_cache", t0, dev.emb_cache)
     return dev, ispec

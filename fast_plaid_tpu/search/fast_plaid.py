@@ -40,7 +40,26 @@ from fast_plaid_tpu.search.searcher import (
 )
 from fast_plaid_tpu.utils.locking import FileLock, Timeout
 
-__all__ = ["FastPlaid", "resolve_devices"]
+__all__ = ["FastPlaid", "resolve_devices", "default_mem_budget"]
+
+
+def default_mem_budget(device: jax.Device) -> int:
+    """Platform default for the per-search device working budget.
+
+    FASTPLAID_TPU_MEM_BUDGET overrides. Accelerators get a quarter of
+    reported device memory (fallback 4 GB when stats are unavailable);
+    CPU hosts get 256 MB.
+    """
+    env = os.environ.get("FASTPLAID_TPU_MEM_BUDGET")
+    if env is not None:
+        return int(env)
+    if device.platform == "cpu":
+        return 256 * 1024 * 1024
+    try:
+        limit = int(device.memory_stats().get("bytes_limit", 0))
+    except Exception:
+        limit = 0
+    return limit // 4 if limit > 0 else 4 * 1024 * 1024 * 1024
 
 
 def resolve_devices(device: str | list[str] | None) -> list[jax.Device]:
@@ -110,7 +129,7 @@ class FastPlaid:
         index: str,
         device: str | list[str] | None = None,
         low_memory: bool = True,
-        mem_budget_bytes: int = 256 * 1024 * 1024,
+        mem_budget_bytes: int | None = None,
         emb_cache_budget_bytes: int | None = None,
         length_buckets: int = 4,
         **kwargs: Any,  # noqa: ARG002 - parity with the reference signature
@@ -118,7 +137,15 @@ class FastPlaid:
         self.index = index
         self.devices = resolve_devices(device)
         self.low_memory = low_memory
-        self.mem_budget = int(mem_budget_bytes)
+        # None sizes the per-search working budget to the platform: a
+        # quarter of device memory on accelerators (bigger query tiles =
+        # fewer host<->device round trips per batch), a conservative
+        # 256 MB on CPU hosts.
+        self.mem_budget = (
+            default_mem_budget(self.devices[0])
+            if mem_budget_bytes is None
+            else int(mem_budget_bytes)
+        )
         # HBM budget for the decompressed-corpus rerank cache; None picks
         # the platform default (on for accelerators, off on CPU).
         self.emb_cache_budget = emb_cache_budget_bytes

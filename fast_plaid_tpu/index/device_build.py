@@ -198,11 +198,14 @@ def build_memory_index_device(
     )
 
     def mark(name, t0, *wait):
-        # Block on the phase's outputs so per-phase walltimes are honest
-        # (async dispatch otherwise attributes a phase's execution to
-        # whichever later phase first forces a host sync).
-        if wait:
-            jax.block_until_ready(wait)
+        # Block on the phase's outputs so per-phase walltimes are honest.
+        # jax.block_until_ready is not sufficient: through remote-attached
+        # device services it can return before execution completes, piling
+        # every phase's real work onto the first later host fetch (measured
+        # 240 s misattributed to a 0.2 s IVF phase). A one-scalar fetch per
+        # output forces true completion at ~one RTT of overhead.
+        for w in jax.tree_util.tree_leaves(wait):
+            jax.device_get(w.ravel()[0] if w.ndim else w)
         if verbose:
             print(
                 f"#   build phase {name}: {time.perf_counter() - t0:.1f}s",

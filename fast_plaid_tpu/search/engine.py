@@ -173,6 +173,10 @@ def candidates_impl(
     both faster and recall-neutral; drop to "tokens" for deliberately
     coarse-k indexes.
     """
+    # Queries may arrive as float16: the host driver stages them over the
+    # wire at half width (H2D bandwidth is the API path's bottleneck on
+    # remote-attached devices); all math runs in f32.
+    queries = queries.astype(jnp.float32)
     b, q, d = queries.shape
     kp = dev.centroids.shape[0]
     k_real = ispec.n_partitions
@@ -652,6 +656,7 @@ def rerank_rows(
     mem_budget: int = 256 * 1024 * 1024,
 ) -> jax.Array:
     """Stage 6: decompress + exact MaxSim over pre-gathered token rows."""
+    queries = queries.astype(jnp.float32)
     b, r, doc_cap = codes_rows.shape
     q, d = queries.shape[1], queries.shape[2]
     per_row = b * doc_cap * max(d * 4, q * 4)
@@ -695,6 +700,7 @@ def token_matrices(
     nbits: int,
 ) -> jax.Array:
     """[B, K, doc_cap, Q] token-score matrices for winner documents."""
+    queries = queries.astype(jnp.float32)
     emb = codec.decompress(
         codes_rows, res_rows, centroids, bucket_weights, nbits,
         out_dtype=RERANK_DTYPE,
@@ -739,6 +745,7 @@ def search_impl(
     (candidate-buffer overflow accounting).
     Requires a fully device-resident index (dev.residuals is not None).
     """
+    queries = queries.astype(jnp.float32)  # f16 wire staging -> f32 math
     doc_cap = ispec.doc_cap
     sent_pid = ispec.sentinel_pid
     cand_out = candidates_impl(

@@ -368,6 +368,17 @@ def search_on_device(
         except ImportError:
             pass
 
+    # Queries cross host->device at half width on accelerators: the API
+    # path is H2D-bound on remote/PCIe links, and unit-norm query values
+    # lose only ~5e-4 relative in float16 (the engine upcasts to f32 on
+    # arrival). FASTPLAID_TPU_QUERY_F32=1 opts out.
+    wire_dtype = (
+        np.float16
+        if loaded.device.platform != "cpu"
+        and os.environ.get("FASTPLAID_TPU_QUERY_F32") != "1"
+        else np.float32
+    )
+
     def make_tile(start: int):
         end = min(start + b_tile, nq)
         tile = batch[start:end]
@@ -375,7 +386,7 @@ def search_on_device(
             tile = np.concatenate(
                 [tile, np.zeros((b_tile - (end - start), q_cap, ispec.dim), np.float32)]
             )
-        tile_dev = jax.device_put(tile, loaded.device)
+        tile_dev = jax.device_put(tile.astype(wire_dtype), loaded.device)
         if subsets is not None:
             sub = _pad_subsets(subsets, ispec.n_docs, slice(start, end))
             if sub.shape[0] < b_tile:

@@ -34,6 +34,11 @@ __all__ = [
     "to_device",
     "round_up",
     "plan_buckets",
+    "build_emb_cache",
+    "emb_cache_bytes",
+    "build_q4_cache",
+    "q4_cache_bytes",
+    "quantize_q4_rows",
 ]
 
 
@@ -77,6 +82,15 @@ class DeviceIndex(NamedTuple):
     # the per-candidate dequant select-sum (VPU-bound); with the cache the
     # rerank is gather+MXU only. Built when the corpus fits the HBM budget.
     emb_cache: jax.Array | None = None
+    # Optional 4-bit prefilter cache (ops/q4cache.py): the decompressed
+    # corpus re-quantized to 4 bits/dim with one f32 scale per token. 4x
+    # smaller than ``emb_cache``; stage 6 scores every rerank candidate
+    # from it and exact-rescores only the top slice through the codec, so
+    # returned scores stay codec-exact. In low_memory mode it lives on
+    # device in place of the residuals and shrinks the host->device
+    # rerank stream ~30x (only the rescore slice crosses).
+    emb_q4: jax.Array | None = None  # [Np, doc_cap * D/2] u8 (lane-flat)
+    q4_scale: jax.Array | None = None  # [Np, doc_cap] f32
     # Length-bucketed rerank layout (ispec.bucket_caps non-empty when set):
     # residuals/emb live per bucket at the bucket cap; ``residuals`` /
     # ``emb_cache`` above are then None.
@@ -374,6 +388,82 @@ def build_emb_cache(
         block=min(block, dev.codes.shape[0]),
     )
     return dev._replace(emb_cache=cache)
+
+
+def q4_cache_bytes(ispec: IndexSpec) -> int:
+    """HBM cost of the 4-bit prefilter cache (packed data + f32 scales)."""
+    np_docs = round_up(ispec.n_docs + 1, 8)
+    return np_docs * ispec.doc_cap * (ispec.dim // 2 + 4)
+
+
+def build_q4_cache(
+    dev: DeviceIndex, ispec: IndexSpec, block: int = 2048
+) -> DeviceIndex:
+    """Quantize the decompressed corpus into the 4-bit prefilter cache.
+
+    Blockwise decompress -> quantize so the full bf16 corpus never
+    materializes (that's the tier's reason to exist). Requires
+    device-resident residuals in the flat (non-bucketed) layout.
+    """
+    if dev.residuals is None or dev.buckets or dev.emb_q4 is not None:
+        return dev
+    packed, scale = _quantize_q4_2d(
+        dev.codes,
+        dev.residuals,
+        dev.centroids,
+        dev.bucket_weights,
+        nbits=ispec.nbits,
+        block=min(block, dev.codes.shape[0]),
+    )
+    return dev._replace(emb_q4=packed, q4_scale=scale)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits",))
+def quantize_q4_rows(codes_rows, res_rows, centroids, bucket_weights, *, nbits):
+    """Decompress + q4-quantize pre-gathered doc-major rows.
+
+    [N, cap] codes + [N, cap, PD] residuals -> ([N, cap * D/2] u8 packed,
+    [N, cap] f32 scales). The low_memory cache builder streams host rows
+    through this in blocks (the wire bytes equal the finished cache, so
+    building costs one pass of the corpus over the interconnect).
+    """
+    from fast_plaid_tpu.ops import codec as codec_ops
+    from fast_plaid_tpu.ops.q4cache import quantize_emb_q4
+
+    n, cap = codes_rows.shape
+    emb = codec_ops.decompress(
+        codes_rows, res_rows, centroids, bucket_weights, nbits
+    )
+    packed, scale = quantize_emb_q4(emb)
+    return packed.reshape(n, -1), scale
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "block"))
+def _quantize_q4_2d(codes, residuals, centroids, bucket_weights, *, nbits, block):
+    """Blockwise decompress+quantize of the whole doc-major corpus."""
+    from fast_plaid_tpu.ops import codec as codec_ops
+    from fast_plaid_tpu.ops.q4cache import quantize_emb_q4
+
+    n, cap = codes.shape
+    res_flat = residuals.reshape(n, -1)
+    pd = res_flat.shape[1] // cap
+    nb = -(-n // block)
+
+    def one(i):
+        cc = jax.lax.dynamic_slice(codes, (i * block, 0), (block, cap))
+        rr = jax.lax.dynamic_slice(
+            res_flat, (i * block, 0), (block, cap * pd)
+        ).reshape(block, cap, pd)
+        emb = codec_ops.decompress(cc, rr, centroids, bucket_weights, nbits)
+        packed, scale = quantize_emb_q4(emb)
+        return packed.reshape(block, -1), scale
+
+    packed, scale = jax.lax.map(one, jnp.arange(nb, dtype=jnp.int32))
+    d2 = packed.shape[-1]
+    return (
+        packed.reshape(nb * block, d2)[:n],
+        scale.reshape(nb * block, -1)[:n],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "block"))

@@ -31,7 +31,12 @@ import os
 import jax
 import jax.numpy as jnp
 
-from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec, gather_res
+from fast_plaid_tpu.index.layout import (
+    DeviceIndex,
+    IndexSpec,
+    gather_res,
+    round_up,
+)
 from fast_plaid_tpu.ops import codec
 from fast_plaid_tpu.ops.maxsim import maxsim_reduce
 
@@ -45,6 +50,8 @@ __all__ = [
     "final_topk_core",
     "reconstruct_core",
     "candidate_capacity",
+    "rescue_pool",
+    "q4_prefilter_core",
 ]
 
 NEG = jnp.float32(-jnp.inf)
@@ -70,6 +77,17 @@ def _exact_scores(emb, queries, valid):
 
 def _chunk_count(total: int, chunk: int) -> int:
     return -(-total // chunk)
+
+
+def rescue_pool(top_k: int) -> int:
+    """Exact-rescore slice size after the q4 prefilter.
+
+    4x the requested top_k (min 32, rounded to a tile-friendly multiple):
+    the q4 estimate's per-score error (~1e-2 absolute on unit-norm tokens)
+    must only preserve membership of the true top_k inside this slice, a
+    4x margin on rank — the codec-exact rescore restores exact order.
+    """
+    return round_up(max(4 * top_k, 32), 8)
 
 
 def _pad_to(x: jax.Array, size: int, axis: int, value) -> jax.Array:
@@ -764,6 +782,44 @@ def search_impl(
 
     b, q, d = queries.shape
     r = p2.shape[1]
+
+    # 4-bit prefilter tier (ops/q4cache.py): when the q4 cache is resident
+    # and the bf16 cache is not, score the whole rerank pool from the q4
+    # copy (DMA + shift/mask dequant — no codec select-sum) and hand the
+    # exact codec rescore only the top slice. Returned scores stay
+    # codec-exact; the prefilter only narrows the pool, and its ~1e-2
+    # score error is far inside the 4x-top_k selection margin. Exhaustive
+    # parameters are a brute-force-identity contract, so no approximate
+    # narrowing applies there.
+    exhaustive = n_ivf_probe >= ispec.n_partitions or (
+        n_full_scores >= 2 * ispec.n_docs
+    )
+    q4_pool = rescue_pool(top_k)
+    if (
+        dev.emb_q4 is not None
+        and dev.emb_cache is None
+        and not dev.buckets
+        and not exhaustive
+        and q4_pool < r
+    ):
+        from fast_plaid_tpu.ops.q4cache import score_q4
+
+        pre = score_q4(
+            dev.emb_q4,
+            dev.q4_scale,
+            dev.doc_lengths,
+            p2,
+            queries,
+            mem_budget=mem_budget,
+        )
+        s_m, i_m = jax.lax.top_k(pre, q4_pool)
+        p2 = jnp.where(
+            jnp.isneginf(s_m),
+            sent_pid,
+            jnp.take_along_axis(p2, i_m, axis=1),
+        )
+        r = q4_pool
+
     if dev.buckets:
         # Length-bucketed stage 6: per-bucket passes at the bucket cap.
         exact, qdrop = _rerank_bucketed(
@@ -858,6 +914,44 @@ search_core = jax.jit(
         "use_rerank_kernel",
     ),
 )
+
+@functools.partial(
+    jax.jit, static_argnames=("sentinel_pid", "pool", "mem_budget")
+)
+def q4_prefilter_core(
+    dev: DeviceIndex,
+    p2: jax.Array,  # [B, R] rerank pool (sentinel_pid padding)
+    queries: jax.Array,  # [B, Q, D]
+    *,
+    sentinel_pid: int,
+    pool: int,
+    mem_budget: int = 256 * 1024 * 1024,
+) -> jax.Array:
+    """Narrow the rerank pool via the q4 cache: [B, R] -> [B, pool] pids.
+
+    The low_memory phase-2 step: scores all R candidates from the
+    device-resident q4 cache and keeps the top ``pool`` for the host
+    residual-row stream + codec-exact rescore — the stream shrinks by
+    R / pool (~30x at defaults).
+    """
+    from fast_plaid_tpu.ops.q4cache import score_q4
+
+    queries = queries.astype(jnp.float32)
+    pre = score_q4(
+        dev.emb_q4,
+        dev.q4_scale,
+        dev.doc_lengths,
+        p2,
+        queries,
+        mem_budget=mem_budget,
+    )
+    s_m, i_m = jax.lax.top_k(pre, min(pool, p2.shape[1]))
+    return jnp.where(
+        jnp.isneginf(s_m),
+        sentinel_pid,
+        jnp.take_along_axis(p2, i_m, axis=1),
+    )
+
 
 candidates_core = jax.jit(
     candidates_impl,

@@ -24,7 +24,10 @@ from fast_plaid_tpu.index.layout import (
     DeviceIndex,
     IndexSpec,
     build_emb_cache,
+    build_q4_cache,
     emb_cache_bytes,
+    q4_cache_bytes,
+    quantize_q4_rows,
     to_device,
 )
 from fast_plaid_tpu.index.storage import load_index_data
@@ -60,18 +63,30 @@ class LoadedIndex:
 
 
 def default_emb_cache_budget(device: jax.Device) -> int:
-    """Platform default for the decompressed-corpus HBM cache.
+    """Platform default for the rerank-cache HBM budget (bf16 or q4 tier).
 
     Accelerators trade HBM for rerank speed by default (the dequant
-    select-sum otherwise dominates stage 6); on CPU hosts memory is the
-    scarcer resource, so the cache is opt-in.
+    select-sum otherwise dominates stage 6); the budget is sized from the
+    device's real free HBM when the runtime reports it (leaving ~2 GB of
+    headroom for search temporaries), else a conservative 4 GB. On CPU
+    hosts memory is the scarcer resource, so the cache is opt-in.
     """
     import os
 
     env = os.environ.get("FASTPLAID_TPU_EMB_CACHE_BYTES")
     if env is not None:
         return int(env)
-    return 4 * 1024 * 1024 * 1024 if device.platform != "cpu" else 0
+    if device.platform == "cpu":
+        return 0
+    try:
+        stats = device.memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        used = int(stats.get("bytes_in_use", 0))
+        if limit > 0:
+            return max(0, int(0.95 * (limit - used)) - 2 * 1024**3)
+    except Exception:
+        pass
+    return 4 * 1024 * 1024 * 1024
 
 
 def _construct(
@@ -94,14 +109,20 @@ def _construct(
         residuals_on_device=not low_memory,
         length_buckets=0 if low_memory else length_buckets,
     )
+    budget = (
+        default_emb_cache_budget(device)
+        if emb_cache_budget is None
+        else emb_cache_budget
+    )
     if not low_memory:
-        budget = (
-            default_emb_cache_budget(device)
-            if emb_cache_budget is None
-            else emb_cache_budget
-        )
         if 0 < emb_cache_bytes(ispec) <= budget:
             dev = build_emb_cache(dev, ispec)
+        elif ispec.dim % 2 == 0 and 0 < q4_cache_bytes(ispec) <= budget:
+            # bf16 cache too big, q4 tier fits: prefilter from the 4x
+            # smaller copy, exact-rescore the top slice via the codec.
+            # (q4 re-quantizes the *decompressed* corpus, so it applies
+            # at any codec nbits.)
+            dev = build_q4_cache(dev, ispec)
     host_kwargs = {}
     if low_memory:
         doc_lengths = np.asarray(data.doc_lengths, np.int64)
@@ -116,13 +137,62 @@ def _construct(
             "host_doc_offsets": offsets,
             "host_doc_lengths": doc_lengths.astype(np.int32),
         }
-    return LoadedIndex(
+    loaded = LoadedIndex(
         dev,
         ispec,
         device,
         ivf_lengths_host=data.ivf_lengths,
         low_memory=low_memory,
         **host_kwargs,
+    )
+    if (
+        low_memory
+        and ispec.dim % 2 == 0
+        and 0 < q4_cache_bytes(ispec) <= budget
+    ):
+        _build_q4_from_host(loaded)
+    return loaded
+
+
+def _build_q4_from_host(loaded: LoadedIndex, block: int = 8192) -> None:
+    """Build the device q4 prefilter cache from host-resident residuals.
+
+    low_memory keeps codes/residuals in host RAM; this streams doc-major
+    row blocks to the device once (wire bytes ~= the finished cache) and
+    quantizes there. Afterwards the searcher scores all rerank candidates
+    on-device and host-streams only the rescue pool's rows per query —
+    ~30x less per-query interconnect traffic than reranking from host
+    rows alone.
+    """
+    import jax.numpy as jnp
+
+    from fast_plaid_tpu.search.searcher import host_gather_rows
+
+    dev = loaded.dev
+    ispec = loaded.ispec
+    np_docs = int(dev.codes.shape[0])
+    packed_parts = []
+    scale_parts = []
+    for start in range(0, np_docs, block):
+        n = min(block, np_docs - start)
+        pids = np.arange(start, start + n, dtype=np.int64)[None]
+        codes_rows, res_rows, _ = host_gather_rows(loaded, pids)
+        cr = jax.device_put(
+            np.ascontiguousarray(codes_rows[0]), loaded.device
+        )
+        rr = jax.device_put(np.ascontiguousarray(res_rows[0]), loaded.device)
+        p, s = quantize_q4_rows(
+            cr,
+            rr,
+            dev.centroids,
+            dev.bucket_weights,
+            nbits=ispec.nbits,
+        )
+        packed_parts.append(p)
+        scale_parts.append(s)
+    loaded.dev = dev._replace(
+        emb_q4=jnp.concatenate(packed_parts),
+        q4_scale=jnp.concatenate(scale_parts),
     )
 
 

@@ -20,7 +20,9 @@ from fast_plaid_tpu.search.engine import (
     candidate_capacity,
     candidates_core,
     final_topk_core,
+    q4_prefilter_core,
     rerank_rows_core,
+    rescue_pool,
     search_core,
     suggest_query_tile,
     token_matrices_core,
@@ -347,11 +349,22 @@ def search_on_device(
         )
     if max_tile is not None:
         b_tile = min(b_tile, max(1, int(max_tile)))  # user memory hint
+    # With the q4 prefilter cache resident, only the top ``rescue_pool``
+    # rows per query cross host->device for the codec-exact rescore.
+    exhaustive = n_ivf_probe >= ispec.n_partitions or (
+        n_full_scores >= 2 * ispec.n_docs
+    )
+    lm_q4 = (
+        loaded.low_memory
+        and loaded.dev.emb_q4 is not None
+        and not exhaustive
+        and rescue_pool(top_k) < max(n_full_scores // 2, 1)
+    )
     if loaded.low_memory:
         # Bound the streamed rerank-row buffers (codes i32 + residuals u8 +
         # valid u8 per token) by the memory budget instead of a fixed cap;
         # the pipeline keeps two tiles in flight, so each gets half.
-        r_pool = max(n_full_scores // 2, 1)
+        r_pool = rescue_pool(top_k) if lm_q4 else max(n_full_scores // 2, 1)
         pd = loaded.host_residuals.shape[1] if loaded.host_residuals is not None else ispec.dim // 2
         per_q = r_pool * ispec.doc_cap * (pd + 5)
         b_tile = min(b_tile, max(1, (mem_budget // 2) // max(per_q, 1)))
@@ -492,6 +505,17 @@ def search_on_device(
                     cand_cap=cand_cap,
                     approx_mode=approx_mode,
                 )
+                if lm_q4:
+                    # Phase 2: on-device q4 prefilter — only the rescue
+                    # pool's rows are host-gathered and exact-rescored.
+                    p2 = q4_prefilter_core(
+                        loaded.dev,
+                        p2,
+                        tile_dev,
+                        sentinel_pid=ispec.sentinel_pid,
+                        pool=rescue_pool(top_k),
+                        mem_budget=mem_budget,
+                    )
                 inflight.append(
                     (
                         start,

@@ -89,8 +89,8 @@ class DeviceIndex(NamedTuple):
     # returned scores stay codec-exact. In low_memory mode it lives on
     # device in place of the residuals and shrinks the host->device
     # rerank stream ~30x (only the rescore slice crosses).
-    emb_q4: jax.Array | None = None  # [Np, doc_cap * D/2] u8 (lane-flat)
-    q4_scale: jax.Array | None = None  # [Np, doc_cap] f32
+    emb_q4: jax.Array | None = None  # [Np, doc_cap/2 * D] u8 (lane-flat)
+    q4_scale: jax.Array | None = None  # [Np] f32 per-document scale
     # Length-bucketed rerank layout (ispec.bucket_caps non-empty when set):
     # residuals/emb live per bucket at the bucket cap; ``residuals`` /
     # ``emb_cache`` above are then None.
@@ -391,9 +391,9 @@ def build_emb_cache(
 
 
 def q4_cache_bytes(ispec: IndexSpec) -> int:
-    """HBM cost of the 4-bit prefilter cache (packed data + f32 scales)."""
+    """HBM cost of the 4-bit prefilter cache (packed data + per-doc scale)."""
     np_docs = round_up(ispec.n_docs + 1, 8)
-    return np_docs * ispec.doc_cap * (ispec.dim // 2 + 4)
+    return np_docs * (ispec.doc_cap * ispec.dim // 2 + 4)
 
 
 def build_q4_cache(
@@ -422,10 +422,10 @@ def build_q4_cache(
 def quantize_q4_rows(codes_rows, res_rows, centroids, bucket_weights, *, nbits):
     """Decompress + q4-quantize pre-gathered doc-major rows.
 
-    [N, cap] codes + [N, cap, PD] residuals -> ([N, cap * D/2] u8 packed,
-    [N, cap] f32 scales). The low_memory cache builder streams host rows
-    through this in blocks (the wire bytes equal the finished cache, so
-    building costs one pass of the corpus over the interconnect).
+    [N, cap] codes + [N, cap, PD] residuals -> ([N, cap/2 * D] u8 packed,
+    [N] f32 per-doc scales). The low_memory cache builder streams host
+    rows through this in blocks (the wire bytes equal the finished cache,
+    so building costs one pass of the corpus over the interconnect).
     """
     from fast_plaid_tpu.ops import codec as codec_ops
     from fast_plaid_tpu.ops.q4cache import quantize_emb_q4
@@ -462,7 +462,7 @@ def _quantize_q4_2d(codes, residuals, centroids, bucket_weights, *, nbits, block
     d2 = packed.shape[-1]
     return (
         packed.reshape(nb * block, d2)[:n],
-        scale.reshape(nb * block, -1)[:n],
+        scale.reshape(nb * block)[:n],
     )
 
 

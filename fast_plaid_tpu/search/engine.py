@@ -802,16 +802,30 @@ def search_impl(
         and not exhaustive
         and q4_pool < r
     ):
-        from fast_plaid_tpu.ops.q4cache import score_q4
+        if use_rerank_kernel:
+            from fast_plaid_tpu.ops.rerank_kernel import (
+                maxsim_q4_gather_scores,
+            )
 
-        pre = score_q4(
-            dev.emb_q4,
-            dev.q4_scale,
-            dev.doc_lengths,
-            p2,
-            queries,
-            mem_budget=mem_budget,
-        )
+            safe = jnp.clip(p2, 0, dev.doc_lengths.shape[0] - 1)
+            pre = maxsim_q4_gather_scores(
+                dev.emb_q4,
+                dev.q4_scale,
+                p2,
+                dev.doc_lengths[safe],
+                queries,
+            )
+        else:
+            from fast_plaid_tpu.ops.q4cache import score_q4
+
+            pre = score_q4(
+                dev.emb_q4,
+                dev.q4_scale,
+                dev.doc_lengths,
+                p2,
+                queries,
+                mem_budget=mem_budget,
+            )
         s_m, i_m = jax.lax.top_k(pre, q4_pool)
         p2 = jnp.where(
             jnp.isneginf(s_m),
@@ -916,7 +930,8 @@ search_core = jax.jit(
 )
 
 @functools.partial(
-    jax.jit, static_argnames=("sentinel_pid", "pool", "mem_budget")
+    jax.jit,
+    static_argnames=("sentinel_pid", "pool", "mem_budget", "use_kernel"),
 )
 def q4_prefilter_core(
     dev: DeviceIndex,
@@ -926,6 +941,7 @@ def q4_prefilter_core(
     sentinel_pid: int,
     pool: int,
     mem_budget: int = 256 * 1024 * 1024,
+    use_kernel: bool = False,
 ) -> jax.Array:
     """Narrow the rerank pool via the q4 cache: [B, R] -> [B, pool] pids.
 
@@ -934,17 +950,25 @@ def q4_prefilter_core(
     residual-row stream + codec-exact rescore — the stream shrinks by
     R / pool (~30x at defaults).
     """
-    from fast_plaid_tpu.ops.q4cache import score_q4
-
     queries = queries.astype(jnp.float32)
-    pre = score_q4(
-        dev.emb_q4,
-        dev.q4_scale,
-        dev.doc_lengths,
-        p2,
-        queries,
-        mem_budget=mem_budget,
-    )
+    if use_kernel:
+        from fast_plaid_tpu.ops.rerank_kernel import maxsim_q4_gather_scores
+
+        safe = jnp.clip(p2, 0, dev.doc_lengths.shape[0] - 1)
+        pre = maxsim_q4_gather_scores(
+            dev.emb_q4, dev.q4_scale, p2, dev.doc_lengths[safe], queries
+        )
+    else:
+        from fast_plaid_tpu.ops.q4cache import score_q4
+
+        pre = score_q4(
+            dev.emb_q4,
+            dev.q4_scale,
+            dev.doc_lengths,
+            p2,
+            queries,
+            mem_budget=mem_budget,
+        )
     s_m, i_m = jax.lax.top_k(pre, min(pool, p2.shape[1]))
     return jnp.where(
         jnp.isneginf(s_m),

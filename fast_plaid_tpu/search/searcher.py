@@ -515,6 +515,11 @@ def search_on_device(
                         sentinel_pid=ispec.sentinel_pid,
                         pool=rescue_pool(top_k),
                         mem_budget=mem_budget,
+                        use_kernel=(
+                            loaded.device.platform == "tpu"
+                            and os.environ.get("FASTPLAID_NO_RERANK_KERNEL")
+                            != "1"
+                        ),
                     )
                 inflight.append(
                     (
@@ -534,7 +539,10 @@ def search_on_device(
         # decompressed-corpus cache is resident on a real TPU.
         use_kernel = (
             loaded.device.platform == "tpu"
-            and loaded.dev.emb_cache is not None
+            and (
+                loaded.dev.emb_cache is not None
+                or loaded.dev.emb_q4 is not None
+            )
             and not loaded.dev.buckets
             and os.environ.get("FASTPLAID_NO_RERANK_KERNEL") != "1"
         )

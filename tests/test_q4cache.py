@@ -40,24 +40,26 @@ class TestQuantizeRoundTrip:
         emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
         packed, s = quantize_emb_q4(jnp.asarray(emb))
         out = np.asarray(dequantize_emb_q4(packed, s))
-        # Max quantization step is scale/2 = max|v|/14 per dim.
-        step = np.abs(emb).max(axis=-1, keepdims=True) / 14.0
+        # Max quantization step is scale/2 = (document max|v|)/14 per dim.
+        step = np.abs(emb).max() / 14.0
         assert np.all(np.abs(out - emb) <= step + 1e-6)
 
     def test_zero_vector(self):
-        packed, s = quantize_emb_q4(jnp.zeros((3, 8)))
+        packed, s = quantize_emb_q4(jnp.zeros((4, 8)))
         assert float(np.asarray(s).max()) == 0.0
         np.testing.assert_array_equal(np.asarray(dequantize_emb_q4(packed, s)), 0.0)
 
-    def test_odd_dim_rejected(self):
+    def test_odd_token_count_rejected(self):
         with pytest.raises(ValueError, match="even"):
-            quantize_emb_q4(jnp.zeros((2, 7)))
+            quantize_emb_q4(jnp.zeros((3, 8)))
 
     def test_packed_shape_and_dtype(self):
+        # Token-pair packing: the token axis halves, the dim axis stays
+        # full width (TPU tiling needs the 128-wide minor dim intact).
         packed, s = quantize_emb_q4(jnp.ones((5, 10, 32)))
-        assert packed.shape == (5, 10, 16)
+        assert packed.shape == (5, 5, 32)
         assert packed.dtype == jnp.uint8
-        assert s.shape == (5, 10)
+        assert s.shape == (5,)  # one scale per document
 
 
 class TestScoreQ4:
@@ -105,9 +107,10 @@ class TestScoreQ4:
     def test_matches_dense_maxsim_of_dequantized(self):
         packed, scale, lens, pids, queries, emb_p, lens_p = self._setup()
         got = np.asarray(score_q4(packed, scale, lens, pids, queries))
+        np_docs, doc_cap, d = emb_p.shape
         deq = np.asarray(
             dequantize_emb_q4(
-                packed.reshape(*emb_p.shape[:2], -1), scale
+                packed.reshape(np_docs, doc_cap // 2, d), scale
             )
         )
         want = self._dense_maxsim(deq, lens_p, np.asarray(pids), np.asarray(queries))

@@ -141,5 +141,6 @@ class TestQ4Tier:
     def test_q4_cache_bytes_accounting(self):
         got = q4_cache_bytes(self.ispec)
         dev = self.resident.dev
+        assert dev.q4_scale.ndim == 1  # per-document scale
         real = dev.emb_q4.size + dev.q4_scale.size * 4
         assert got == real

@@ -154,6 +154,14 @@ def run_chip(args):
         verbose=True,
     )
     jax.block_until_ready(dev.residuals)
+    if args.q4_cache:
+        import gc
+
+        gc.collect()
+        from fast_plaid_tpu.index.layout import build_q4_cache
+
+        dev = build_q4_cache(dev, ispec)
+        jax.block_until_ready(dev.emb_q4)
     if args.emb_cache:
         import gc
 
@@ -187,11 +195,11 @@ def run_chip(args):
         q = jax.random.normal(key, (tile_b, q_len, args.dim), jnp.float32)
         return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
-    use_kernel = (
-        jax.devices()[0].platform == "tpu" and dev.emb_cache is not None
+    use_kernel = jax.devices()[0].platform == "tpu" and (
+        dev.emb_cache is not None or dev.emb_q4 is not None
     )
 
-    def run(batch):
+    def run(batch, mode):
         return search_core(
             dev,
             batch,
@@ -203,43 +211,47 @@ def run_chip(args):
             want_tokens=False,
             cand_cap=cand_cap,
             mem_budget=256 << 20,
-            approx_mode=args.approx or "cells",
+            approx_mode=mode,
             use_rerank_kernel=use_kernel,
         )
 
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]
     jax.block_until_ready(tiles)
-    jax.block_until_ready(run(tiles[0]))
-    t0 = time.perf_counter()
-    outs = [run(t) for t in tiles[1:]]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / 3
-    qps = tile_b / dt
+    for mode in (args.approx or "cells").split(","):
+        jax.block_until_ready(run(tiles[0], mode))
+        t0 = time.perf_counter()
+        outs = [run(t, mode) for t in tiles[1:]]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / 3
+        qps = tile_b / dt
 
-    # Planted-duplicate spot check.
-    rng = np.random.default_rng(2)
-    probe_pids = rng.integers(0, args.docs, 8)
-    queries = planted_queries(
-        chunk_gen, starts, lens, probe_pids, q_len, args.dim
-    )
-    qpad = np.zeros((tile_b, q_len, args.dim), np.float32)
-    qpad[: len(queries)] = queries
-    pids = np.asarray(run(jnp.asarray(qpad))[0])[: len(probe_pids)]
-    hit1 = float(np.mean(pids[:, 0] == probe_pids))
-    print(
-        json.dumps(
-            {
-                "mode": "chip",
-                "n_docs": args.docs,
-                "n_tokens": int(lens.sum()),
-                "build_s": round(build_s, 1),
-                "qps": round(qps, 1),
-                "batch": tile_b,
-                "planted_hit@1": hit1,
-                "device": str(jax.devices()[0]),
-            }
+        # Planted-duplicate spot check.
+        rng = np.random.default_rng(2)
+        probe_pids = rng.integers(0, args.docs, 8)
+        queries = planted_queries(
+            chunk_gen, starts, lens, probe_pids, q_len, args.dim
         )
-    )
+        qpad = np.zeros((tile_b, q_len, args.dim), np.float32)
+        qpad[: len(queries)] = queries
+        pids = np.asarray(run(jnp.asarray(qpad), mode)[0])[: len(probe_pids)]
+        hit1 = float(np.mean(pids[:, 0] == probe_pids))
+        print(
+            json.dumps(
+                {
+                    "mode": "chip",
+                    "n_docs": args.docs,
+                    "n_tokens": int(lens.sum()),
+                    "build_s": round(build_s, 1),
+                    "approx": mode,
+                    "q4_cache": bool(args.q4_cache),
+                    "emb_cache": bool(args.emb_cache),
+                    "qps": round(qps, 1),
+                    "batch": tile_b,
+                    "planted_hit@1": hit1,
+                    "device": str(jax.devices()[0]),
+                }
+            )
+        )
 
 
 def main():
@@ -255,13 +267,21 @@ def main():
     ap.add_argument("--full", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--emb-cache", action="store_true")
+    ap.add_argument(
+        "--q4-cache",
+        action="store_true",
+        help="build the 4-bit prefilter cache (exact rescore of top slice)",
+    )
     ap.add_argument("--sample-docs", type=int, default=None)
     ap.add_argument("--free-residuals", action="store_true")
     ap.add_argument(
         "--approx",
         default=None,
-        choices=[None, "cells", "cells_full", "tokens"],
-        help="pruning estimator; mesh8 defaults to 'tokens' (coarse-k)",
+        help=(
+            "pruning estimator (cells/cells_full/tokens); chip mode "
+            "accepts a comma list measured against one build; mesh8 "
+            "defaults to 'tokens' (coarse-k)"
+        ),
     )
     args = ap.parse_args()
     if args.mode == "mesh8":

@@ -30,18 +30,27 @@ import time
 import numpy as np
 
 
-def run(n_docs: int, n_queries: int, dim: int, seed: int, device: str | None):
+def run(
+    n_docs: int,
+    n_queries: int,
+    dim: int,
+    seed: int,
+    device: str | None,
+    generator: str = "topic",
+):
     from fast_plaid_tpu.evaluation import evaluate
     from fast_plaid_tpu.evaluation.synthetic import (
+        colbert_proxy_corpus,
         exact_maxsim_topk,
         topic_corpus,
         truth_qrels,
     )
     from fast_plaid_tpu.search import FastPlaid
 
+    gen = topic_corpus if generator == "topic" else colbert_proxy_corpus
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
-    docs, queries, _ = topic_corpus(rng, n_docs, n_queries, dim=dim)
+    docs, queries, _ = gen(rng, n_docs, n_queries, dim=dim)
     print(f"# corpus: {n_docs} docs / {n_queries} queries "
           f"({time.perf_counter() - t0:.1f}s)")
 
@@ -81,7 +90,7 @@ def run(n_docs: int, n_queries: int, dim: int, seed: int, device: str | None):
             "n_queries": n_queries,
             "dim": dim,
             "seed": seed,
-            "generator": "evaluation.synthetic.topic_corpus",
+            "generator": f"evaluation.synthetic.{'topic_corpus' if generator == 'topic' else 'colbert_proxy_corpus'}",
         },
         "truth": "exhaustive MaxSim on raw embeddings, qrels = top-10",
         "exact_decompressed": score(exact_dec),
@@ -110,12 +119,25 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--device", default=None)
-    args = ap.parse_args()
-    out = run(args.docs, args.queries, args.dim, args.seed, args.device)
-    os.makedirs(os.path.join(os.path.dirname(__file__), "results"), exist_ok=True)
-    path = os.path.join(
-        os.path.dirname(__file__), "results", "quality_parity.json"
+    ap.add_argument(
+        "--generator",
+        default="topic",
+        choices=["topic", "colbert_proxy"],
+        help="corpus statistics: plain topic model or the ColBERT proxy "
+        "(anisotropy + hub tokens + lexical query matches + MASK padding)",
     )
+    args = ap.parse_args()
+    out = run(
+        args.docs, args.queries, args.dim, args.seed, args.device,
+        generator=args.generator,
+    )
+    os.makedirs(os.path.join(os.path.dirname(__file__), "results"), exist_ok=True)
+    name = (
+        "quality_parity.json"
+        if args.generator == "topic"
+        else "quality_parity_colbert_proxy.json"
+    )
+    path = os.path.join(os.path.dirname(__file__), "results", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

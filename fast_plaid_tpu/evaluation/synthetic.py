@@ -15,7 +15,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["topic_corpus", "exact_maxsim_topk", "truth_qrels"]
+__all__ = [
+    "topic_corpus",
+    "colbert_proxy_corpus",
+    "exact_maxsim_topk",
+    "truth_qrels",
+]
 
 
 def _unit(x: np.ndarray) -> np.ndarray:
@@ -74,6 +79,124 @@ def topic_corpus(
         queries[qi] = _unit(
             topic_weight * topics[tok_topic] + (1 - topic_weight) * 1.3 * noise
         )
+    return docs, queries, targets
+
+
+def colbert_proxy_corpus(
+    rng: np.random.Generator,
+    n_docs: int,
+    n_queries: int,
+    dim: int = 128,
+    n_topics: int | None = None,
+    mean_len: int = 120,
+    max_len: int = 360,
+    q_len: int = 32,
+    topic_weight: float = 0.8,
+    anisotropy: float = 0.35,
+    hub_frac: float = 0.22,
+    n_hubs: int = 32,
+    lexical_frac: float = 0.5,
+    mask_frac: float = 0.35,
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
+    """Topic corpus upgraded with the ColBERT statistics the plain topic
+    model misses — the no-network stand-in for committing real encoder
+    embeddings (reference quality anchor: the BEIR table,
+    /root/reference/README.md:306-338, produced by
+    answerdotai/answerai-colbert-small-v1 through docs/benchmark/
+    benchmark.py:44-48; no weights or egress exist in this environment).
+
+    What is added, and the real-embedding property each one mimics:
+
+    * **Anisotropy** (``anisotropy`` weight on a shared mean direction):
+      transformer token embeddings occupy a narrow cone — random-pair
+      cosine is ~0.2-0.5, not 0. Shifts every centroid toward the cone
+      axis and compresses score gaps, the regime quantization actually
+      operates in.
+    * **Hub tokens** (``hub_frac`` of each document from ``n_hubs``
+      Zipf-weighted vectors): stopwords/punctuation recur near-verbatim
+      in most documents, producing the few giant IVF cells real corpora
+      have — the stress case for cell_cap, candidate capacity and the
+      cells estimator's tie handling.
+    * **Lexical query tokens** (``lexical_frac`` of query tokens are
+      near-copies of target-document tokens): ColBERT relevance is
+      dominated by exact/near term matches (per-token sims near 1.0),
+      unlike the purely topical similarity of the base generator.
+    * **[MASK] padding** (``mask_frac`` of query slots near one shared
+      mask vector): ColBERT pads queries to 32 with [MASK] tokens that
+      embed near each other and probe the same cells for every query.
+    """
+    if n_topics is None:
+        n_topics = max(64, n_docs // 32)
+    axis = _unit(rng.standard_normal((1, dim)).astype(np.float32))
+
+    def cone(x: np.ndarray) -> np.ndarray:
+        return _unit(anisotropy * axis + (1.0 - anisotropy) * _unit(x))
+
+    topics = cone(rng.standard_normal((n_topics, dim)).astype(np.float32))
+    hubs = cone(rng.standard_normal((n_hubs, dim)).astype(np.float32))
+    mask_vec = cone(rng.standard_normal((1, dim)).astype(np.float32))[0]
+
+    pop = 1.0 / np.arange(1, n_topics + 1) ** 1.1
+    pop /= pop.sum()
+    hub_pop = 1.0 / np.arange(1, n_hubs + 1) ** 1.3
+    hub_pop /= hub_pop.sum()
+
+    lengths = np.clip(
+        rng.lognormal(np.log(mean_len), 0.45, n_docs).astype(np.int64),
+        8,
+        max_len,
+    )
+    doc_topics = []
+    docs = []
+    for i in range(n_docs):
+        k = int(rng.integers(1, 4))
+        tids = rng.choice(n_topics, size=k, replace=False, p=pop)
+        doc_topics.append(tids)
+        n = int(lengths[i])
+        tok_topic = tids[rng.integers(0, k, n)]
+        noise = rng.standard_normal((n, dim)).astype(np.float32)
+        tok = _unit(
+            topic_weight * topics[tok_topic] + (1 - topic_weight) * noise
+        )
+        # Hub (stopword) tokens recur with tiny jitter: near-identical
+        # vectors across documents -> giant shared IVF cells.
+        is_hub = rng.random(n) < hub_frac
+        hub_ids = rng.choice(n_hubs, size=int(is_hub.sum()), p=hub_pop)
+        # Jitter norms are dim-independent (c / sqrt(dim) per component)
+        # so near-duplicate cosines match real stopword recurrences
+        # (~0.99) at any embedding width.
+        jitter = (0.15 / dim**0.5) * rng.standard_normal(
+            (len(hub_ids), dim)
+        ).astype(np.float32)
+        tok[is_hub] = _unit(hubs[hub_ids] + jitter)
+        docs.append(tok)
+
+    targets = rng.integers(0, n_docs, n_queries)
+    queries = np.empty((n_queries, q_len, dim), np.float32)
+    for qi, t in enumerate(targets):
+        tids = doc_topics[t]
+        tok_topic = tids[rng.integers(0, len(tids), q_len)]
+        noise = rng.standard_normal((q_len, dim)).astype(np.float32)
+        q = _unit(
+            topic_weight * topics[tok_topic]
+            + (1 - topic_weight) * 1.3 * noise
+        )
+        # Lexical matches: near-verbatim copies of target-document tokens.
+        n_lex = int(lexical_frac * q_len)
+        if n_lex and len(docs[t]):
+            src = rng.integers(0, len(docs[t]), n_lex)
+            jitter = (0.2 / dim**0.5) * rng.standard_normal(
+                (n_lex, dim)
+            ).astype(np.float32)
+            q[:n_lex] = _unit(docs[t][src] + jitter)
+        # [MASK] padding tail: shared vector + jitter.
+        n_mask = int(mask_frac * q_len)
+        if n_mask:
+            jitter = (0.25 / dim**0.5) * rng.standard_normal(
+                (n_mask, dim)
+            ).astype(np.float32)
+            q[q_len - n_mask :] = _unit(mask_vec[None, :] + jitter)
+        queries[qi] = q
     return docs, queries, targets
 
 

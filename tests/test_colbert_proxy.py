@@ -1,0 +1,86 @@
+"""Quality + structure pins on the ColBERT-proxy corpus.
+
+VERDICT r2 gap: the quality evidence was synthetic-topical only. Real
+encoder embeddings are unobtainable here (no network, no weights), so
+the proxy generator adds the missing ColBERT statistics — anisotropy,
+hub (stopword) tokens, lexical query matches, [MASK] padding — and this
+test (a) sanity-checks that those statistics are actually present and
+(b) pins cascade-vs-exact nDCG parity on the harder corpus in CI.
+"""
+
+import numpy as np
+
+from fast_plaid_tpu.evaluation import evaluate
+from fast_plaid_tpu.evaluation.synthetic import (
+    colbert_proxy_corpus,
+    exact_maxsim_topk,
+    truth_qrels,
+)
+from fast_plaid_tpu.search import FastPlaid
+
+
+def _score(rows, qrels, qids):
+    fmt = [[{"id": str(p), "score": s} for p, s in row] for row in rows]
+    return evaluate(fmt, qrels, qids, metrics=["ndcg@10", "recall@10"])
+
+
+def test_proxy_statistics_match_colbert_shape():
+    rng = np.random.default_rng(0)
+    docs, queries, targets = colbert_proxy_corpus(
+        rng, n_docs=300, n_queries=20, dim=64, mean_len=60, max_len=120
+    )
+    flat = np.concatenate(docs)
+    # Anisotropy: random token pairs sit in a cone (mean cosine well
+    # above 0), as transformer embeddings do.
+    idx = rng.integers(0, len(flat), (2, 4000))
+    cos = np.sum(flat[idx[0]] * flat[idx[1]], axis=-1)
+    assert 0.05 < float(cos.mean()) < 0.7, float(cos.mean())
+    # Hub tokens: some near-duplicate token groups recur across many
+    # documents (max pairwise sims ~1 between different docs' tokens).
+    a, b = docs[0], np.concatenate(docs[1:50])
+    best = (a @ b.T).max()
+    assert best > 0.98, float(best)
+    # Lexical query tokens: a query's best token match in its target
+    # document is near-verbatim.
+    for qi in range(5):
+        t = targets[qi]
+        sim = (queries[qi] @ docs[t].T).max()
+        assert sim > 0.95, (qi, float(sim))
+    # MASK padding: trailing query tokens are near-identical across
+    # different queries.
+    tails = queries[:, -3:, :].reshape(-1, queries.shape[-1])
+    cos_t = tails @ tails.T
+    assert float(cos_t.min()) > 0.9, float(cos_t.min())
+
+
+def test_cascade_parity_on_colbert_proxy(test_index_path):
+    rng = np.random.default_rng(7)
+    docs, queries, _ = colbert_proxy_corpus(
+        rng,
+        n_docs=600,
+        n_queries=40,
+        dim=64,
+        mean_len=40,
+        max_len=90,
+        q_len=12,
+    )
+    truth = exact_maxsim_topk(docs, queries, top_k=50)
+    qids, qrels = truth_qrels(truth, depth=10)
+
+    engine = FastPlaid(index=test_index_path, device="cpu")
+    engine.create(documents_embeddings=docs, show_progress=False)
+    recon = engine.get_embeddings(list(range(len(docs))))
+    exact_dec = exact_maxsim_topk(recon, queries, top_k=50)
+    cascade = engine.search(queries, top_k=50, show_progress=False)
+
+    m_exact = _score(exact_dec, qrels, qids)
+    m_cascade = _score(cascade, qrels, qids)
+    # Candidate generation/pruning must cost nothing over exhaustive
+    # search on the same compressed index — on the REALISTIC-statistics
+    # corpus (hub-token IVF skew, lexical near-duplicates).
+    assert m_cascade["ndcg@10"] >= m_exact["ndcg@10"] - 0.02, (
+        m_cascade,
+        m_exact,
+    )
+    assert m_exact["ndcg@10"] >= 0.85, m_exact
+    assert m_cascade["ndcg@10"] >= 0.85, m_cascade

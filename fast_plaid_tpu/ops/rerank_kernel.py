@@ -102,7 +102,19 @@ def _kernel(pids_ref, lens_ref, q_ref, emb_hbm, out_ref, scratch, sems):
     out_ref[0] = jnp.sum(jnp.max(ts, axis=2), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("r_tile", "b_chunk"))
+def _pallas_kwargs(interpret: bool, compiler_params, cost_estimate) -> dict:
+    """TPU lowering hints, or interpret mode (CPU logic tests) without them."""
+    if interpret:
+        return {"interpret": True}
+    return {
+        "compiler_params": compiler_params,
+        "cost_estimate": cost_estimate,
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_tile", "b_chunk", "interpret")
+)
 def maxsim_gather_scores(
     emb_cache: jax.Array,  # [Np, doc_cap, D] bf16
     pids: jax.Array,  # [B, R] int32 (rows with length 0 score -inf)
@@ -110,6 +122,7 @@ def maxsim_gather_scores(
     queries: jax.Array,  # [B, Q, D] (cast to bf16)
     r_tile: int = 8,
     b_chunk: int = 8,
+    interpret: bool = False,
 ) -> jax.Array:
     """Fused gather+MaxSim: returns [B, R] f32 scores (-inf for empty rows)."""
     b, r = pids.shape
@@ -144,17 +157,20 @@ def maxsim_gather_scores(
             pltpu.VMEM((2, b_chunk, r_tile, doc_cap, d), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, b_chunk, r_tile)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(
-                2 * b_chunk * r_tile * doc_cap * d * 2  # emb scratch x2
-                + b_chunk * r_tile * doc_cap * nq * 4 * 2  # token scores
-                + 8 * 1024 * 1024
+        **_pallas_kwargs(
+            interpret,
+            pltpu.CompilerParams(
+                vmem_limit_bytes=int(
+                    2 * b_chunk * r_tile * doc_cap * d * 2  # emb scratch x2
+                    + b_chunk * r_tile * doc_cap * nq * 4 * 2  # token scores
+                    + 8 * 1024 * 1024
+                ),
             ),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b_chunk * rp * doc_cap * nq * d,
-            bytes_accessed=b_chunk * rp * doc_cap * d * 2,
-            transcendentals=0,
+            pl.CostEstimate(
+                flops=2 * b_chunk * rp * doc_cap * nq * d,
+                bytes_accessed=b_chunk * rp * doc_cap * d * 2,
+                transcendentals=0,
+            ),
         ),
     )
 
@@ -254,7 +270,9 @@ def _q4_kernel(pids_ref, lens_ref, q_ref, q4_hbm, out_ref, dat, sems):
     out_ref[0] = jnp.sum(jnp.max(ts, axis=2), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("r_tile", "b_chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("r_tile", "b_chunk", "interpret")
+)
 def maxsim_q4_gather_scores(
     emb_q4: jax.Array,  # [Np, doc_cap/2 * D] u8 (lane-flattened)
     q4_scale: jax.Array,  # [Np] f32 per-document scales
@@ -263,6 +281,7 @@ def maxsim_q4_gather_scores(
     queries: jax.Array,  # [B, Q, D] (cast to bf16)
     r_tile: int = 16,
     b_chunk: int = 8,
+    interpret: bool = False,
 ) -> jax.Array:
     """Fused q4 gather + dequant + MaxSim: [B, R] f32 (-inf empty rows).
 
@@ -313,18 +332,21 @@ def maxsim_q4_gather_scores(
             pltpu.VMEM((2, b_chunk, r_tile, caph, d), jnp.uint8),
             pltpu.SemaphoreType.DMA((2, b_chunk, r_tile)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(
-                2 * b_chunk * r_tile * caph * d  # u8 scratch x2
-                + b_chunk * r_tile * caph * d * 4 * 3  # i32/bf16 dequant
-                + b_chunk * r_tile * doc_cap * nq * 4 * 2  # token scores
-                + 16 * 1024 * 1024
+        **_pallas_kwargs(
+            interpret,
+            pltpu.CompilerParams(
+                vmem_limit_bytes=int(
+                    2 * b_chunk * r_tile * caph * d  # u8 scratch x2
+                    + b_chunk * r_tile * caph * d * 4 * 3  # i32/bf16 dequant
+                    + b_chunk * r_tile * doc_cap * nq * 4 * 2  # token scores
+                    + 16 * 1024 * 1024
+                ),
             ),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b_chunk * rp * doc_cap * nq * d,
-            bytes_accessed=b_chunk * rp * caph * d,
-            transcendentals=0,
+            pl.CostEstimate(
+                flops=2 * b_chunk * rp * doc_cap * nq * d,
+                bytes_accessed=b_chunk * rp * caph * d,
+                transcendentals=0,
+            ),
         ),
     )
 

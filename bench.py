@@ -80,11 +80,15 @@ def main() -> None:
         float(np.asarray(dev.emb_cache.ravel()[0]))
     print(f"# index built in {build_s:.1f}s: {ispec}", flush=True)
 
-    # Candidate capacity from real IVF stats (as the API layer does).
+    # Candidate capacity + hub-aware slot budget from real IVF stats (as
+    # the API layer does).
+    from fast_plaid_tpu.search.engine import suggest_slot_budget
+
     ivf_lengths = np.asarray(dev.ivf_lengths)
     cand_cap = candidate_capacity(
         ivf_lengths, min(q_len * 8, ispec.n_partitions), 4096
     )
+    slot_budget = suggest_slot_budget(ivf_lengths, 4096)
 
     mem_budget = int(os.environ.get("BENCH_MEM_BUDGET", 1 << 30))
     use_kernel = (
@@ -106,13 +110,14 @@ def main() -> None:
             cand_cap=cand_cap,
             mem_budget=mem_budget,
             use_rerank_kernel=use_kernel,
+            slot_budget=slot_budget,
         )
 
     # Big device-resident tiles (sized to HBM) with DIFFERENT queries per
     # rep: amortizes dispatch/transfer latency the way a production server
     # would while defeating any result caching (the reference similarly
     # excludes JIT warmup and stages queries on-device, README.md:338).
-    tile_b = min(256, suggest_query_tile(ispec, q_len, cand_cap))
+    tile_b = min(256, suggest_query_tile(ispec, q_len, cand_cap, slot_budget=slot_budget))
     reps = 5
 
     import jax.numpy as jnp
@@ -150,6 +155,7 @@ def main() -> None:
             cand_cap=cand_cap,
             mem_budget=mem_budget,
             use_rerank_kernel=False,
+            slot_budget=slot_budget,
         )
         sk = np.sort(np.asarray(outs[0][1]), axis=-1)
         sx = np.sort(np.asarray(alt[1]), axis=-1)

@@ -50,6 +50,7 @@ __all__ = [
     "final_topk_core",
     "reconstruct_core",
     "candidate_capacity",
+    "suggest_slot_budget",
     "rescue_pool",
     "q4_prefilter_core",
 ]
@@ -155,6 +156,7 @@ def candidates_impl(
     cand_cap: int | None = None,
     approx_mode: str = "cells",
     with_stats: bool = False,
+    slot_budget: int | None = None,
 ) -> jax.Array:
     """Cascade stages 1-5: probe, candidate generation, approximate scoring,
     pruning. Returns the rerank set p2 [B, R] (sentinel_pid padding), sorted
@@ -281,14 +283,27 @@ def candidates_impl(
     cell_ids = jnp.arange(c_cells, dtype=jnp.int32)
 
     if approx_mode == "cells" and subset is None:  # fast cell-window path
-        # ---- 3/4/5 (cells, fast path). Selection is CELL-granular: under
-        # this estimator every doc in a cell shares the cell's total query
-        # score, so slot-level selection could only split ties arbitrarily
-        # (the recall cliff the cells_full/auto modes exist for). Cells
-        # are ordered by total score and taken whole until the slot budget
-        # fills; their IVF windows arrive via one dynamic-slice row gather
-        # per (query, cell) — ~65k 1KB descriptors instead of a per-slot
-        # scalar pid gather (~1M descriptors at ~43M/s, the previous wall).
+        # ---- 3/4/5 (cells, fast path). Cells are ordered by total query
+        # score and taken WHOLE until the slot budget fills; their IVF
+        # lists arrive via dynamic-slice windows — never a per-slot scalar
+        # pid gather (~1M descriptors at ~43M/s, the previous wall). Two
+        # regimes share the cell ordering:
+        #
+        # * exhaustive (full probe / corpus-covering pool): a correctness
+        #   contract — results must equal brute force — so no implicit
+        #   budget applies (an EXPLICIT cand_cap still caps, with the drop
+        #   counted), selections are exact, and candidates are scored at
+        #   cell granularity (the pool covers everything anyway).
+        # * budgeted: windows are CHUNKED (width ``min(cell_cap, 256)``) so
+        #   a Zipf-skewed corpus never pays max-cell padding across every
+        #   selected cell, and every kept slot is scored at per-query-token
+        #   granularity (sum_q max over the candidate's probed cells) — the
+        #   cells_full estimator at fast-path cost. Cell-granular scoring
+        #   (every doc in a cell sharing one estimate) measurably collapses
+        #   under hub cells: realistic stopword-style cells holding ~40% of
+        #   a corpus rank top for every query and flood a cell-granular
+        #   pool (ColBERT-proxy corpus: pool recall@10 0.896 cell-granular
+        #   vs 0.974 per-query-max with the hub-extended slot_budget).
         cells_safe = jnp.clip(cells, 0, kp - 1)
         cell_tot = jnp.sum(
             jnp.take_along_axis(
@@ -302,62 +317,165 @@ def candidates_impl(
         offs_s = jnp.take_along_axis(offs, order2, axis=-1)
         lens_s = jnp.take_along_axis(lens, order2, axis=-1)
 
-        # Exhaustive parameters (full probe / corpus-covering pool) are a
-        # correctness contract — results must equal brute force — so no
-        # implicit budget applies (an EXPLICIT cand_cap still caps, with
-        # the drop counted) and every selection stays exact.
         exhaustive = (
             n_ivf_probe >= k_real or n_full_scores >= 2 * ispec.n_docs
         )
         k2 = min(cand_cap, ((n_full_scores + 127) // 128) * 128)
-        budget = cand_cap if exhaustive else k2
+
         if exhaustive:
+            budget = cand_cap
             c_sel = c_cells
-        else:
-            typical = max(1, cand_cap // max(c_cells, 1))
-            c_sel = min(c_cells, max(8, -(-2 * k2 // typical)))
-        ct_s = ct_s[:, :c_sel]
-        offs_s = offs_s[:, :c_sel]
-        lens_s = lens_s[:, :c_sel]
+            csum = jnp.cumsum(lens_s, axis=-1)
+            cell_ok = (csum - lens_s) < budget
+
+            win = jax.vmap(
+                jax.vmap(
+                    lambda o: jax.lax.dynamic_slice(dev.ivf, (o,), (cell_cap,))
+                )
+            )(offs_s)  # [B, c_sel, cell_cap]
+            iota_cc = jnp.arange(cell_cap, dtype=jnp.int32)
+            valid = (
+                iota_cc[None, None, :] < lens_s[..., None]
+            ) & cell_ok[..., None]
+            width = c_sel * cell_cap
+            pid = jnp.where(valid, win, sent_pid).reshape(b, width)
+            vals = jnp.where(valid, ct_s[..., None], NEG).reshape(b, width)
+
+            # dedup multi-cell docs: sort by pid, keep each run's max
+            # score (backward doubling), score only the run head.
+            pid_s, val_s = jax.lax.sort((pid, vals), dimension=-1, num_keys=1)
+            step = 1
+            while step < width:
+                eq = pid_s[:, :-step] == pid_s[:, step:]
+                val_s = val_s.at[:, :-step].max(
+                    jnp.where(eq, val_s[:, step:], NEG)
+                )
+                step *= 2
+            is_start = jnp.concatenate(
+                [jnp.ones((b, 1), bool), pid_s[:, 1:] != pid_s[:, :-1]],
+                axis=-1,
+            ) & (pid_s != sent_pid)
+            approx = jnp.where(is_start, val_s, NEG)
+            r = min(max(n_full_scores // 2, 1), width)
+            s1, i1 = jax.lax.top_k(approx, r)
+            p2 = jnp.where(
+                jnp.isneginf(s1),
+                sent_pid,
+                jnp.take_along_axis(pid_s, i1, axis=1),
+            )
+            if with_stats:
+                kept = jnp.sum(jnp.where(cell_ok, lens_s, 0), axis=-1)
+                dropped = jnp.maximum(total - kept, 0).astype(jnp.int32)
+                return p2, dropped
+            return p2
+
+        # ---- budgeted chunked-window path.
+        budget = min(cand_cap, max(k2, slot_budget or 0))
+        typical = max(1, cand_cap // max(c_cells, 1))
+        c_sel = min(c_cells, max(8, -(-2 * budget // typical)))
+        # Giant-cell demotion: a hub cell (stopword-style — many times the
+        # mean cell size) carries almost no per-document information: every
+        # document it holds shares its score. Ranked by raw cell_tot such
+        # cells land FIRST for every query (stopword query tokens score
+        # them highly) and would eat the whole whole-cell budget, evicting
+        # the small content cells that actually discriminate. Demote them
+        # below every normal cell (but above sentinel/empty cells): content
+        # cells fill the budget first, and a giant enters only with budget
+        # left over — or as the fallback when a query probed nothing else.
+        # Documents reachable ONLY via a dropped giant are precisely those
+        # the estimator could not rank anyway; their hub contribution is
+        # near-uniform across the corpus (a constant shift in the
+        # reference's token estimator, search.rs:554-599).
+        mean_len = dev.ivf_lengths.sum() // jnp.maximum(k_real, 1)
+        giant_thresh = jnp.maximum(
+            (8 * mean_len).astype(jnp.int32), jnp.int32(budget // 4)
+        )
+        demoted = jnp.where(
+            (lens > giant_thresh) & jnp.isfinite(cell_tot),
+            cell_tot - jnp.float32(1e10),
+            cell_tot,
+        )
+        order_b = jnp.argsort(-demoted, axis=-1)
+        offs_s = jnp.take_along_axis(offs, order_b, axis=-1)[:, :c_sel]
+        lens_s = jnp.take_along_axis(lens, order_b, axis=-1)[:, :c_sel]
         csum = jnp.cumsum(lens_s, axis=-1)
         cell_ok = (csum - lens_s) < budget  # whole cells until the budget
 
+        # Chunk table: selected cells' lists decompose into w-wide chunks
+        # laid end to end. Every cell occupies at least one chunk, so the
+        # chunk width tracks the budget-per-cell ratio (w ~ budget/c_sel,
+        # clamped to [8, 256]): tiny-cell corpora don't pay 256-wide
+        # padding per cell, big-cell corpora get few large DMA-friendly
+        # slices. Table capacity = full-chunk budget + one partial chunk
+        # per selected cell + the straddling last cell (whole-cell
+        # semantics admit it fully); total width is therefore O(2*budget
+        # + cell_cap) regardless of the corpus's cell-size distribution —
+        # never c_sel * cell_cap (the max-cell padding this replaces).
+        # dev.ivf is end-padded by cell_cap sentinel entries
+        # (index/layout.py), so every w-slice is in bounds.
+        w = min(256, max(8, ((budget // max(c_sel, 1) + 7) // 8) * 8))
+        s_chunks = -(-budget // w) + c_sel + -(-cell_cap // w)
+        nck = jnp.where(cell_ok, (lens_s + w - 1) // w, 0)  # [B, c_sel]
+        ck_end = jnp.cumsum(nck, axis=-1)
+        ck_start = ck_end - nck
+        jj = jnp.arange(s_chunks, dtype=jnp.int32)
+        own = (jj[None, :, None] >= ck_start[:, None, :]) & (
+            jj[None, :, None] < ck_end[:, None, :]
+        )  # [B, S, c_sel] — exactly one owner while jj < total chunks
+        sel_ids = jnp.arange(c_sel, dtype=jnp.int32)
+        owner = jnp.sum(
+            jnp.where(own, sel_ids[None, None, :], 0), axis=-1
+        ).astype(jnp.int32)  # [B, S]
+        has = jnp.any(own, axis=-1)
+        local = jj[None, :] - jnp.take_along_axis(ck_start, owner, axis=1)
+        off = jnp.take_along_axis(offs_s, owner, axis=1) + local * w
+        rem = jnp.take_along_axis(lens_s, owner, axis=1) - local * w
         win = jax.vmap(
-            jax.vmap(
-                lambda o: jax.lax.dynamic_slice(dev.ivf, (o,), (cell_cap,))
-            )
-        )(offs_s)  # [B, c_sel, cell_cap]
-        iota_cc = jnp.arange(cell_cap, dtype=jnp.int32)
-        valid = (
-            iota_cc[None, None, :] < lens_s[..., None]
-        ) & cell_ok[..., None]
-        width = c_sel * cell_cap
+            jax.vmap(lambda o: jax.lax.dynamic_slice(dev.ivf, (o,), (w,)))
+        )(jnp.maximum(off, 0))  # [B, S, w]
+        iota_w = jnp.arange(w, dtype=jnp.int32)
+        valid = (iota_w[None, None, :] < rem[..., None]) & has[..., None]
+        width = s_chunks * w
         pid = jnp.where(valid, win, sent_pid).reshape(b, width)
-        vals = jnp.where(valid, ct_s[..., None], NEG).reshape(b, width)
+        ownw = jnp.broadcast_to(
+            owner[..., None], (b, s_chunks, w)
+        ).reshape(b, width)
 
-        # ---- 4. dedup multi-cell docs: sort by pid, keep each run's max
-        # score (backward doubling), score only the run head.
-        pid_s, val_s = jax.lax.sort((pid, vals), dimension=-1, num_keys=1)
-        step = 1
-        while step < width:
-            eq = pid_s[:, :-step] == pid_s[:, step:]
-            val_s = val_s.at[:, :-step].max(
-                jnp.where(eq, val_s[:, step:], NEG)
+        # ---- 4. sort by pid carrying the owning cell; per-query-token
+        # estimates come from the tiny [B, c_sel, Q] probe-score table,
+        # suffix-maxed within equal-pid runs (a doc appears at most once
+        # per cell, so runs are <= c_sel long).
+        pid_s, own_s = jax.lax.sort((pid, ownw), dimension=-1, num_keys=1)
+        cells_sel = jnp.take_along_axis(cells, order_b, axis=-1)[:, :c_sel]
+        cell_scores = (
+            jnp.take_along_axis(
+                scores_qc, jnp.clip(cells_sel, 0, kp - 1)[:, None, :], axis=2
             )
+            .transpose(0, 2, 1)
+            .astype(jnp.bfloat16)
+        )  # [B, c_sel, Q]
+        s_slot = jnp.take_along_axis(
+            cell_scores, own_s[..., None], axis=1
+        )  # [B, width, Q] bf16
+        neg16 = jnp.bfloat16(-3.0e38)
+        step = 1
+        while step < c_sel:
+            eq = pid_s[:, :-step] == pid_s[:, step:]
+            shifted = jnp.where(eq[..., None], s_slot[:, step:, :], neg16)
+            s_slot = s_slot.at[:, :-step, :].max(shifted)
             step *= 2
         is_start = jnp.concatenate(
             [jnp.ones((b, 1), bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=-1
         ) & (pid_s != sent_pid)
-        approx = jnp.where(is_start, val_s, NEG)
+        approx = jnp.where(
+            is_start, jnp.sum(s_slot.astype(jnp.float32), axis=-1), NEG
+        )
 
-        # ---- 5. prune straight to the exact-rerank pool (n_full/2, the
-        # widened pool for this coarser estimator); an exact top_k here
-        # would only re-derive an order the exact rerank recomputes.
+        # ---- 5. prune straight to the exact-rerank pool (n_full/2); an
+        # exact top_k here would only re-derive an order the exact rerank
+        # recomputes.
         r = min(max(n_full_scores // 2, 1), width)
-        if exhaustive:
-            s1, i1 = jax.lax.top_k(approx, r)
-        else:
-            s1, i1 = jax.lax.approx_max_k(approx, r)
+        s1, i1 = jax.lax.approx_max_k(approx, r)
         p2 = jnp.where(
             jnp.isneginf(s1),
             sent_pid,
@@ -753,6 +871,7 @@ def search_impl(
     approx_mode: str = "cells",
     with_stats: bool = False,
     use_rerank_kernel: bool = False,
+    slot_budget: int | None = None,
 ):
     """Batched PLAID cascade (traceable body — also used inside shard_map).
 
@@ -777,6 +896,7 @@ def search_impl(
         cand_cap=cand_cap,
         approx_mode=approx_mode,
         with_stats=with_stats,
+        slot_budget=slot_budget,
     )
     p2, dropped = cand_out if with_stats else (cand_out, None)
 
@@ -926,6 +1046,7 @@ search_core = jax.jit(
         "approx_mode",
         "with_stats",
         "use_rerank_kernel",
+        "slot_budget",
     ),
 )
 
@@ -987,6 +1108,7 @@ candidates_core = jax.jit(
         "cand_cap",
         "approx_mode",
         "with_stats",
+        "slot_budget",
     ),
 )
 
@@ -1006,6 +1128,7 @@ def suggest_query_tile(
     cand_cap: int,
     hbm_budget: int = 8 * 1024 * 1024 * 1024,
     max_tile: int = 256,
+    slot_budget: int | None = None,
 ) -> int:
     """Queries per device tile such that the cascade's per-query working
     set (query-centroid scores + candidate buffers + slot scores with the
@@ -1013,8 +1136,14 @@ def suggest_query_tile(
     kp = ((max(ispec.n_partitions, 1) + 127) // 128) * 128
     per_query = q_cap * kp * 8  # scores_qc f32 (+ fusion headroom)
     # slot_score f32 + cell_slot i32 (x2 for chunk transposes) + misc int
-    # buffers; the fast cells path never materializes [B, cand, Q] tensors.
+    # buffers.
     per_query += cand_cap * 32
+    if slot_budget is not None:
+        # Budgeted chunked-window path: the [B, width, Q] bf16 per-query-
+        # token slot scores (x3 for the suffix-max doubling temporaries),
+        # width ~ 2*budget + cell_cap (engine.candidates_impl chunking).
+        width = 2 * min(cand_cap, slot_budget) + ispec.cell_cap + 256
+        per_query += width * (q_cap * 2 * 3 + 12)
     return int(max(1, min(max_tile, hbm_budget // max(per_query, 1))))
 
 
@@ -1036,6 +1165,36 @@ def candidate_capacity(
     typical = int(2.0 * n_cells * float(lens.mean()))
     cap = min(worst, max(typical, 4 * n_full_scores, 1024))
     return max(128, ((cap + 127) // 128) * 128)
+
+
+def suggest_slot_budget(
+    ivf_lengths: "np.ndarray", n_full_scores: int, n_hubs: int = 16
+) -> int:
+    """Hub-aware candidate slot budget for the budgeted cells path.
+
+    The base budget is ~n_full_scores slots of whole cells in descending
+    total-score order. Real ColBERT corpora have a few giant "hub" cells
+    (stopword/punctuation tokens recur near-verbatim in most documents)
+    that rank top for every query and would eat the whole base budget by
+    themselves, truncating the content cells that actually discriminate
+    (measured on the ColBERT-proxy corpus: recall@100 0.89 at the base
+    budget vs 0.98+ with the extension). Extend the budget by the EXCESS
+    mass of the ``n_hubs`` largest cells over the uniform expectation
+    (n_hubs * median), capped at 4x the base — a uniform corpus has no
+    excess and keeps the fast-path throughput; a Zipf-skewed one gets its
+    giants absorbed. The chunked window layout makes the extension cheap:
+    slots are materialized at chunk (not max-cell) granularity, so budget
+    growth is linear, not multiplied by the largest cell.
+    """
+    import numpy as np
+
+    lens = np.sort(np.asarray(ivf_lengths, np.int64))[::-1]
+    k2 = ((n_full_scores + 127) // 128) * 128
+    if lens.size == 0:
+        return k2
+    h = min(n_hubs, lens.size)
+    excess = int(lens[:h].sum()) - h * int(np.median(lens))
+    return k2 + int(min(max(excess, 0), 4 * k2))
 
 
 @functools.partial(jax.jit, static_argnames=("nbits",))

@@ -25,6 +25,7 @@ from fast_plaid_tpu.search.engine import (
     rescue_pool,
     search_core,
     suggest_query_tile,
+    suggest_slot_budget,
     token_matrices_core,
 )
 from fast_plaid_tpu.search.load import LoadedIndex
@@ -184,6 +185,7 @@ def _lm_candidates(
     mem_budget: int,
     cand_cap: int | None,
     approx_mode: str,
+    slot_budget: int | None = None,
 ):
     """Low_memory phase 1: dispatch the device candidate cascade (async)."""
     return candidates_core(
@@ -197,6 +199,7 @@ def _lm_candidates(
         cand_cap=cand_cap,
         approx_mode=approx_mode,
         with_stats=True,
+        slot_budget=slot_budget,
     )
 
 
@@ -318,10 +321,16 @@ def search_on_device(
     batch, q_lens = _pad_queries(cleaned, ispec.dim)
     nq, q_cap, _ = batch.shape
     cand_cap = None
+    slot_budget = None
     if loaded.ivf_lengths_host is not None:
         n_cells = min(q_cap * n_ivf_probe, ispec.n_partitions)
         cand_cap = candidate_capacity(
             loaded.ivf_lengths_host, n_cells, n_full_scores
+        )
+        # Hub-aware budget: giant stopword-style cells must not eat the
+        # whole whole-cell slot budget (engine.suggest_slot_budget).
+        slot_budget = suggest_slot_budget(
+            loaded.ivf_lengths_host, n_full_scores
         )
     if approx_mode == "auto":
         # The fast cells estimator gives every candidate in a probed cell
@@ -345,7 +354,10 @@ def search_on_device(
     b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
     if cand_cap is not None:
         b_tile = min(
-            b_tile, suggest_query_tile(ispec, q_cap, cand_cap)
+            b_tile,
+            suggest_query_tile(
+                ispec, q_cap, cand_cap, slot_budget=slot_budget
+            ),
         )
     if max_tile is not None:
         b_tile = min(b_tile, max(1, int(max_tile)))  # user memory hint
@@ -504,6 +516,7 @@ def search_on_device(
                     mem_budget=mem_budget,
                     cand_cap=cand_cap,
                     approx_mode=approx_mode,
+                    slot_budget=slot_budget,
                 )
                 if lm_q4:
                     # Phase 2: on-device q4 prefilter — only the rescue
@@ -569,6 +582,7 @@ def search_on_device(
                 approx_mode=approx_mode,
                 with_stats=True,
                 use_rerank_kernel=use_kernel,
+                slot_budget=slot_budget,
             )
             inflight.append((out, start, end))
             if len(inflight) >= 3:

@@ -140,6 +140,7 @@ def run_chip(args):
         candidate_capacity,
         search_core,
         suggest_query_tile,
+        suggest_slot_budget,
     )
 
     lens, starts, chunk_gen = corpus_spec(args.docs, args.len, args.dim, 0)
@@ -186,7 +187,11 @@ def run_chip(args):
     cand_cap = candidate_capacity(
         ivf_lengths, min(q_len * args.probe, ispec.n_partitions), args.full
     )
-    tile_b = min(args.batch, suggest_query_tile(ispec, q_len, cand_cap))
+    slot_budget = suggest_slot_budget(ivf_lengths, args.full)
+    tile_b = min(
+        args.batch,
+        suggest_query_tile(ispec, q_len, cand_cap, slot_budget=slot_budget),
+    )
 
     import jax.numpy as jnp
 
@@ -213,6 +218,7 @@ def run_chip(args):
             mem_budget=256 << 20,
             approx_mode=mode,
             use_rerank_kernel=use_kernel,
+            slot_budget=slot_budget,
         )
 
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]

@@ -22,6 +22,10 @@ from fast_plaid_tpu.parallel.mesh2d import (
     replicate_sharded_index,
     sharded_search_2d,
 )
+from fast_plaid_tpu.parallel.lm_sharded import (
+    ShardedLowMemory,
+    load_sharded_lm,
+)
 from fast_plaid_tpu.parallel.sharded import (
     ShardedIndex,
     build_sharded_index,
@@ -36,6 +40,8 @@ __all__ = [
     "build_sharded_index",
     "sharded_search",
     "query_sharded_search",
+    "ShardedLowMemory",
+    "load_sharded_lm",
     "make_mesh_2d",
     "replicate_sharded_index",
     "sharded_search_2d",

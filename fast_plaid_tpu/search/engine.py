@@ -170,28 +170,30 @@ def candidates_impl(
 
     approx_mode selects the pruning estimator:
 
-    * "cells" (default, TPU-native): a candidate is scored from the probed
-      IVF cells it appears in — sum over query tokens of the max probed-cell
-      score (the original PLAID stage-1 estimator). Needs only the tiny
-      [B, C, Q] probe-score table; no per-token gathers. The rerank pool is
-      widened to n_full_scores/2 (instead of the reference's /4) because the
-      estimator is coarser; the final ranking is exact either way.
-    * "cells_full": the same estimator computed over EVERY candidate slot
-      with per-query max granularity (no slot-budget truncation) — slower
-      (sorts/scores the full candidate pool) but discriminates inside
-      coarse cells.
-    * "tokens" (reference parity, search.rs:554-599): every candidate token
-      gathers its centroid's query scores — a tighter estimate but
-      gather-descriptor-bound on TPU (~20M rows/s).
+    * "cells" (default, TPU-native): candidates come from whole probed
+      cells taken in descending total-score order until the slot budget
+      (``slot_budget``, hub-extended — suggest_slot_budget) fills, with
+      giant stopword-style cells demoted to last; every kept slot is
+      scored per query token — sum_q max over the candidate's probed
+      cells of the [B, C, Q] probe-table score (the PLAID stage-1
+      estimator at per-query granularity). No per-token gathers. The
+      rerank pool is widened to n_full_scores/2 (instead of the
+      reference's /4) because cell-level scores are coarser than token-
+      level ones; the final ranking is exact either way.
+    * "cells_full": the same per-query-max estimator over EVERY candidate
+      slot with no slot budget — the safety net for coarse-k indexes
+      whose single cells dwarf any budget (the ``auto`` selector in the
+      API layer crosses over on measured volume).
+    * "tokens" (reference parity, search.rs:554-599): every candidate
+      token gathers its centroid's query scores — the tightest estimate
+      but gather-descriptor-bound on TPU (~20M rows/s).
 
-    Estimator choice matters when cells are coarse: "cells" gives every
-    candidate in a cell the SAME estimate, so once a probed cell holds more
-    docs than the 2*n_full_scores slot budget the tie-break truncates
-    arbitrarily within it (measured: planted-duplicate recall collapses at
-    k=256 cells over 8.8M docs). With k at the partition heuristic
-    (~sqrt-scale) cells stay far smaller than the budget and "cells" is
-    both faster and recall-neutral; drop to "tokens" for deliberately
-    coarse-k indexes.
+    Estimator regimes: with k at the partition heuristic (~sqrt-scale)
+    the budgeted "cells" path is recall-equivalent to cells_full on both
+    uniform and hub-skewed corpora (ColBERT-proxy: nDCG gap 0.002 vs
+    exhaustive-on-compressed) at fast-path cost. Deliberately coarse-k
+    indexes (cells of 10k+ docs) still need cells_full/tokens: every doc
+    in a cell shares one estimate there, whatever the budget.
     """
     # Queries may arrive as float16: the host driver stages them over the
     # wire at half width (H2D bandwidth is the API path's bottleneck on

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -200,8 +201,10 @@ def run_chip(args):
         q = jax.random.normal(key, (tile_b, q_len, args.dim), jnp.float32)
         return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
-    use_kernel = jax.devices()[0].platform == "tpu" and (
-        dev.emb_cache is not None or dev.emb_q4 is not None
+    use_kernel = (
+        jax.devices()[0].platform == "tpu"
+        and (dev.emb_cache is not None or dev.emb_q4 is not None)
+        and os.environ.get("FASTPLAID_NO_RERANK_KERNEL") != "1"
     )
 
     def run(batch, mode):

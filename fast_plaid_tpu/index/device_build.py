@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from fast_plaid_tpu.index.layout import (
     DeviceIndex,
     IndexSpec,
+    align_ivf_device,
     build_emb_cache,
     round_up,
 )
@@ -267,18 +268,18 @@ def build_memory_index_device(
     # The only host fetch of the build: [K] cell lengths (static cell_cap,
     # ivf window sizing, candidate-capacity stats all need the histogram).
     ivf_len_host = np.asarray(ivf_len_dev)
-    n_ivf = int(n_ivf_dev)
+    del n_ivf_dev
     cell_cap = round_up(max(int(ivf_len_host.max()) if k else 1, 1), 8)
-    ivf_p = jnp.concatenate(
-        [ivf_pids, jnp.full((cell_cap,), n_docs, jnp.int32)]
+    # Aligned device layout (layout.align_ivf_device): candidate windows
+    # become 2-D row gathers in the search engine.
+    ivf_p, ivf_off, ivf_len = align_ivf_device(
+        ivf_pids,
+        ivf_len_host,
+        k=k,
+        kp=kp,
+        n_docs=n_docs,
+        cell_cap=cell_cap,
     )
-    ivf_off = np.zeros((kp + 8,), np.int32)
-    ivf_off[:k] = np.concatenate(
-        [[0], np.cumsum(ivf_len_host[: k - 1], dtype=np.int64)]
-    ).astype(np.int32)
-    ivf_off[k:] = n_ivf
-    ivf_len = np.zeros((kp + 8,), np.int32)
-    ivf_len[:k] = ivf_len_host[:k]
     t0 = mark("ivf", t0)
 
     cent_p = jnp.zeros((kp, dim), jnp.float32).at[:k].set(centroids)

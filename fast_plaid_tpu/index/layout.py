@@ -39,11 +39,79 @@ __all__ = [
     "build_q4_cache",
     "q4_cache_bytes",
     "quantize_q4_rows",
+    "IVF_ALIGN",
+    "aligned_ivf_len",
+    "align_ivf_device",
 ]
+
+# Device IVF alignment: every cell's list starts on a multiple of this, so
+# candidate windows are whole rows of dev.ivf.reshape(-1, IVF_ALIGN) (one
+# TPU lane width of int32) and fetch as an efficient 2-D row gather instead
+# of per-element unaligned slices.
+IVF_ALIGN = 128
 
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def aligned_ivf_len(ivf_lengths: "np.ndarray") -> int:
+    """Flat length of the IVF_ALIGN-aligned device layout for these cells."""
+    lens = np.asarray(ivf_lengths, np.int64)
+    return int((-(-lens // IVF_ALIGN)).sum()) * IVF_ALIGN
+
+
+def align_ivf_device(
+    ivf_pids: jax.Array,
+    ivf_len_host: "np.ndarray",
+    *,
+    k: int,
+    kp: int,
+    n_docs: int,
+    cell_cap: int,
+    pad_ivf_to: int | None = None,
+):
+    """Re-lay a compact device-resident flat IVF into the aligned layout.
+
+    ``ivf_pids`` holds the cells' pid lists back to back (the natural output
+    of the sort-based device IVF build); lengths are host-known. Returns
+    (aligned flat device array, aligned ivf_offsets, ivf_lengths) matching
+    the host layout produced by ``to_device``. One pass of element gathers
+    (O(total) one-time at build) buys row-gather candidate windows on every
+    subsequent query.
+    """
+    lens = np.asarray(ivf_len_host[:k], np.int64)
+    nrows_c = -(-lens // IVF_ALIGN)
+    row_start = np.concatenate([[0], np.cumsum(nrows_c)])
+    n_rows = int(row_start[-1])
+    n_aligned = n_rows * IVF_ALIGN
+    src_off = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    owner = np.repeat(np.arange(k, dtype=np.int64), nrows_c)
+    local = np.arange(n_rows, dtype=np.int64) - row_start[owner]
+    src_start = (src_off[owner] + IVF_ALIGN * local).astype(np.int32)
+    rem = (lens[owner] - IVF_ALIGN * local).astype(np.int32)
+
+    iota = jnp.arange(IVF_ALIGN, dtype=jnp.int32)
+    idx = jnp.asarray(src_start)[:, None] + iota[None, :]
+    idx = jnp.clip(idx, 0, max(int(ivf_pids.shape[0]) - 1, 0))
+    rows = ivf_pids[idx]
+    rows = jnp.where(
+        iota[None, :] < jnp.asarray(rem)[:, None], rows, jnp.int32(n_docs)
+    )
+    flat = rows.reshape(-1)
+    size = round_up(
+        max(pad_ivf_to or n_aligned, n_aligned), IVF_ALIGN
+    ) + round_up(cell_cap, IVF_ALIGN)
+    if size > n_aligned:
+        flat = jnp.concatenate(
+            [flat, jnp.full((size - n_aligned,), n_docs, jnp.int32)]
+        )
+    ivf_off = np.zeros((kp + 8,), np.int32)
+    ivf_off[:k] = (row_start[:-1] * IVF_ALIGN).astype(np.int32)
+    ivf_off[k:] = n_aligned
+    ivf_len = np.zeros((kp + 8,), np.int32)
+    ivf_len[:k] = lens.astype(np.int32)
+    return flat, ivf_off, ivf_len
 
 
 class DocBucket(NamedTuple):
@@ -277,24 +345,42 @@ def to_device(
     cent_p[:k] = centroids.astype(np.float32, copy=False)
 
     if ivf is not None and ivf_lengths is not None:
-        n_ivf = int(ivf.shape[0])
-        pad_ivf = max(pad_ivf_to or n_ivf, n_ivf)
+        # 128-ALIGNED device layout: every cell's list starts on a multiple
+        # of IVF_ALIGN, so the search engine fetches candidate windows as
+        # whole rows of dev.ivf.reshape(-1, IVF_ALIGN) — an efficient 2-D
+        # row gather. Unaligned dynamic-slice windows lower to per-ELEMENT
+        # gathers on TPU (measured 23 ms/256-query tile at the bench shape
+        # vs <1 ms for the aligned row fetch). Alignment waste is bounded
+        # by one row per cell (<~5% at the partition-count heuristic).
+        lens64 = np.asarray(ivf_lengths, np.int64)
         if cell_cap is None:
             cell_cap = round_up(max(int(ivf_lengths.max()) if k else 1, 1), 8)
-        ip = pad_ivf + cell_cap
+        nrows_c = -(-lens64 // IVF_ALIGN)
+        row_start = np.concatenate([[0], np.cumsum(nrows_c)])
+        n_aligned = int(row_start[-1]) * IVF_ALIGN
+        pad_ivf = round_up(max(pad_ivf_to or n_aligned, n_aligned), IVF_ALIGN)
+        ip = pad_ivf + round_up(cell_cap, IVF_ALIGN)
         ivf_p = np.full((ip,), n_docs, dtype=np.int32)  # pad -> sentinel pid
-        ivf_p[:n_ivf] = ivf.astype(np.int32, copy=False)
+        n_ivf = int(ivf.shape[0])
+        if n_ivf:
+            cell_of = np.repeat(np.arange(k, dtype=np.int64), lens64)
+            src_off = np.concatenate([[0], np.cumsum(lens64)])[:-1]
+            within = np.arange(n_ivf, dtype=np.int64) - np.repeat(
+                src_off, lens64
+            )
+            dst = row_start[cell_of] * IVF_ALIGN + within
+            ivf_p[dst] = ivf.astype(np.int32, copy=False)
         ivf_off = np.zeros((kp + 8,), dtype=np.int32)
         ivf_len = np.zeros((kp + 8,), dtype=np.int32)
         ivf_len[:k] = ivf_lengths.astype(np.int32, copy=False)
-        ivf_off[:k] = np.concatenate(
-            [[0], np.cumsum(ivf_lengths[:-1], dtype=np.int64)]
-        ).astype(np.int32)
-        ivf_off[k:] = n_ivf
+        ivf_off[:k] = (row_start[:-1] * IVF_ALIGN).astype(np.int32)
+        ivf_off[k:] = n_aligned
         has_ivf = True
     else:
         cell_cap = cell_cap or 8
-        ivf_p = np.full((cell_cap,), n_docs, dtype=np.int32)
+        ivf_p = np.full(
+            (round_up(cell_cap, IVF_ALIGN),), n_docs, dtype=np.int32
+        )
         ivf_off = np.zeros((kp + 8,), dtype=np.int32)
         ivf_len = np.zeros((kp + 8,), dtype=np.int32)
         has_ivf = False

@@ -43,6 +43,7 @@ from fast_plaid_tpu.index.device_build import (
 from fast_plaid_tpu.index.layout import (
     DeviceIndex,
     IndexSpec,
+    align_ivf_device,
     build_emb_cache,
     round_up,
 )
@@ -191,27 +192,27 @@ def _finalize_ivf(
     cell_cap: int | None,
     pad_ivf_to: int | None,
 ):
-    """IVF from doc-major codes; returns device arrays + host stats."""
-    ivf_pids, ivf_len_dev, n_ivf_dev = _ivf_device_big(
+    """IVF from doc-major codes; returns device arrays + host stats.
+
+    The compact sort-based device IVF is re-laid into the 128-aligned
+    layout (layout.align_ivf_device) so search fetches candidate windows
+    as 2-D row gathers.
+    """
+    ivf_pids, ivf_len_dev, _n_ivf_dev = _ivf_device_big(
         codes2d, lengths, kp=kp, n_docs=n_docs
     )
     ivf_len_host = np.asarray(ivf_len_dev)
-    n_ivf = int(n_ivf_dev)
     if cell_cap is None:
         cell_cap = round_up(max(int(ivf_len_host.max()) if k else 1, 1), 8)
-    size = (pad_ivf_to or ivf_pids.shape[0]) + cell_cap
-    pad = size - ivf_pids.shape[0]
-    if pad > 0:
-        ivf_pids = jnp.concatenate(
-            [ivf_pids, jnp.full((pad,), n_docs, jnp.int32)]
-        )
-    ivf_off = np.zeros((kp + 8,), np.int32)
-    ivf_off[:k] = np.concatenate(
-        [[0], np.cumsum(ivf_len_host[: k - 1], dtype=np.int64)]
-    ).astype(np.int32)
-    ivf_off[k:] = n_ivf
-    ivf_len = np.zeros((kp + 8,), np.int32)
-    ivf_len[:k] = ivf_len_host[:k]
+    ivf_pids, ivf_off, ivf_len = align_ivf_device(
+        ivf_pids,
+        ivf_len_host,
+        k=k,
+        kp=kp,
+        n_docs=n_docs,
+        cell_cap=cell_cap,
+        pad_ivf_to=pad_ivf_to,
+    )
     return ivf_pids, ivf_off, ivf_len, ivf_len_host, cell_cap
 
 
@@ -399,7 +400,9 @@ def build_sharded_index_streaming(
         ivf_raw.append((pids, off, ln, ln_host, n_local))
         cell_cap = max(cell_cap, cc)
 
-    ivf_size = np_docs * doc_cap + cell_cap
+    # Uniform per-shard static shape: the max of the shards' actual
+    # aligned sizes (each already carries its own cell_cap tail padding).
+    ivf_size = max(int(r[0].shape[0]) for r in ivf_raw)
     for si, (pids, off, ln, _, n_local) in enumerate(ivf_raw):
         pad = ivf_size - pids.shape[0]
         if pad > 0:

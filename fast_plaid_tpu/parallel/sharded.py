@@ -26,7 +26,13 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from fast_plaid_tpu.index import ivf as ivf_mod
-from fast_plaid_tpu.index.layout import DeviceIndex, IndexSpec, round_up, to_device
+from fast_plaid_tpu.index.layout import (
+    DeviceIndex,
+    IndexSpec,
+    aligned_ivf_len,
+    round_up,
+    to_device,
+)
 from fast_plaid_tpu.search.engine import search_impl
 
 __all__ = [
@@ -101,7 +107,8 @@ def build_sharded_index(
         8,
     )
     pad_docs = per
-    pad_ivf = max(int(s["ivf"].shape[0]) for s in shards)
+    # Uniform shapes in the 128-aligned device IVF layout.
+    pad_ivf = max(aligned_ivf_len(s["ivf_lengths"]) for s in shards)
 
     devs, ispec = [], None
     for s in shards:

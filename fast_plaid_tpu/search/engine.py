@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from fast_plaid_tpu.index.layout import (
+    IVF_ALIGN,
     DeviceIndex,
     IndexSpec,
     gather_res,
@@ -252,18 +253,25 @@ def candidates_impl(
     cells = jnp.where(top_cell_scores > NEG, cells, kp)  # kp = empty sentinel cell
     cells = cells.reshape(b, q * probe)
     cells = _dedup_sorted(jnp.sort(cells, axis=-1), kp)
+    # Per-cell/query-token score table [B, C, Q] for every probed cell,
+    # RECOMPUTED from gathered centroid rows with one tiny MXU matmul
+    # (0.5 GFLOP at the bench shape) rather than gathered out of the
+    # [B, Q, Kp] score tensor: take_along_axis there is a per-ELEMENT
+    # descriptor gather (B*Q*C ~ 2M descriptors at ~40M desc/s — measured
+    # ~15 ms per 256-query tile on v5e), while centroids[cells] is only
+    # B*C row descriptors. Every cell-score consumer below (probe-order
+    # priority, cell totals, per-slot estimates) reads this table.
+    cent_sel = dev.centroids[jnp.clip(cells, 0, kp - 1)].astype(jnp.float32)
+    tbl = jnp.einsum(
+        "bcd,bqd->bcq", cent_sel, queries, preferred_element_type=jnp.float32
+    )  # [B, C, Q]
     # Order the deduped cells by descending probe score (max over query
     # tokens) so that if the candidate buffer overflows, the truncated tail
     # holds the least-promising cells — never an arbitrary high scorer.
-    cell_pri = jnp.max(
-        jnp.take_along_axis(
-            scores_qc, jnp.clip(cells, 0, kp - 1)[:, None, :], axis=2
-        ),
-        axis=1,
-    )  # [B, C]
-    cell_pri = jnp.where(cells == kp, NEG, cell_pri)
+    cell_pri = jnp.where(cells == kp, NEG, jnp.max(tbl, axis=-1))  # [B, C]
     order = jnp.argsort(-cell_pri, axis=-1)
     cells = jnp.take_along_axis(cells, order, axis=-1)
+    tbl = jnp.take_along_axis(tbl, order[..., None], axis=1)
 
     # ---- 3. candidates: exactly-compacted segmented layout.
     # Instead of a [C, cell_cap] window per probed cell (max-cell padding
@@ -306,14 +314,9 @@ def candidates_impl(
         #   a corpus rank top for every query and flood a cell-granular
         #   pool (ColBERT-proxy corpus: pool recall@10 0.896 cell-granular
         #   vs 0.974 per-query-max with the hub-extended slot_budget).
-        cells_safe = jnp.clip(cells, 0, kp - 1)
-        cell_tot = jnp.sum(
-            jnp.take_along_axis(
-                scores_qc, cells_safe[:, None, :], axis=2
-            ).astype(jnp.float32),
-            axis=1,
-        )  # [B, C] (zero-padded query rows contribute exactly 0)
-        cell_tot = jnp.where(cells == kp, NEG, cell_tot)
+        # [B, C] cell totals from the recomputed table (zero-padded query
+        # rows contribute exactly 0).
+        cell_tot = jnp.where(cells == kp, NEG, jnp.sum(tbl, axis=-1))
         order2 = jnp.argsort(-cell_tot, axis=-1)
         ct_s = jnp.take_along_axis(cell_tot, order2, axis=-1)
         offs_s = jnp.take_along_axis(offs, order2, axis=-1)
@@ -330,11 +333,17 @@ def candidates_impl(
             csum = jnp.cumsum(lens_s, axis=-1)
             cell_ok = (csum - lens_s) < budget
 
-            win = jax.vmap(
-                jax.vmap(
-                    lambda o: jax.lax.dynamic_slice(dev.ivf, (o,), (cell_cap,))
-                )
-            )(offs_s)  # [B, c_sel, cell_cap]
+            # Cell windows as whole 128-aligned rows of the 2-D IVF view
+            # (cell starts are IVF_ALIGN-aligned by layout): a row gather,
+            # not per-element unaligned slices.
+            ivf2d = dev.ivf.reshape(-1, IVF_ALIGN)
+            rows_pc = -(-cell_cap // IVF_ALIGN)
+            row_ids = (offs_s // IVF_ALIGN)[..., None] + jnp.arange(
+                rows_pc, dtype=jnp.int32
+            )
+            win = ivf2d[jnp.clip(row_ids, 0, ivf2d.shape[0] - 1)].reshape(
+                b, c_sel, rows_pc * IVF_ALIGN
+            )[:, :, :cell_cap]  # [B, c_sel, cell_cap]
             iota_cc = jnp.arange(cell_cap, dtype=jnp.int32)
             valid = (
                 iota_cc[None, None, :] < lens_s[..., None]
@@ -403,19 +412,18 @@ def candidates_impl(
         csum = jnp.cumsum(lens_s, axis=-1)
         cell_ok = (csum - lens_s) < budget  # whole cells until the budget
 
-        # Chunk table: selected cells' lists decompose into w-wide chunks
-        # laid end to end. Every cell occupies at least one chunk, so the
-        # chunk width tracks the budget-per-cell ratio (w ~ budget/c_sel,
-        # clamped to [8, 256]): tiny-cell corpora don't pay 256-wide
-        # padding per cell, big-cell corpora get few large DMA-friendly
-        # slices. Table capacity = full-chunk budget + one partial chunk
-        # per selected cell + the straddling last cell (whole-cell
-        # semantics admit it fully); total width is therefore O(2*budget
-        # + cell_cap) regardless of the corpus's cell-size distribution —
-        # never c_sel * cell_cap (the max-cell padding this replaces).
-        # dev.ivf is end-padded by cell_cap sentinel entries
-        # (index/layout.py), so every w-slice is in bounds.
-        w = min(256, max(8, ((budget // max(c_sel, 1) + 7) // 8) * 8))
+        # Chunk table: selected cells' lists decompose into IVF_ALIGN-wide
+        # chunks laid end to end. Cell starts are IVF_ALIGN-aligned in the
+        # device layout, so every chunk is exactly one ROW of the 2-D IVF
+        # view and materializes as an efficient row gather (an unaligned
+        # dynamic-slice window lowers to per-element gathers — measured
+        # 23 ms/256-query tile vs <1 ms for rows at the bench shape).
+        # Table capacity = full-chunk budget + one partial chunk per
+        # selected cell + the straddling last cell (whole-cell semantics
+        # admit it fully); total width is therefore O(2*budget + cell_cap)
+        # regardless of the corpus's cell-size distribution — never
+        # c_sel * cell_cap (the max-cell padding this replaces).
+        w = IVF_ALIGN
         s_chunks = -(-budget // w) + c_sel + -(-cell_cap // w)
         nck = jnp.where(cell_ok, (lens_s + w - 1) // w, 0)  # [B, c_sel]
         ck_end = jnp.cumsum(nck, axis=-1)
@@ -432,9 +440,10 @@ def candidates_impl(
         local = jj[None, :] - jnp.take_along_axis(ck_start, owner, axis=1)
         off = jnp.take_along_axis(offs_s, owner, axis=1) + local * w
         rem = jnp.take_along_axis(lens_s, owner, axis=1) - local * w
-        win = jax.vmap(
-            jax.vmap(lambda o: jax.lax.dynamic_slice(dev.ivf, (o,), (w,)))
-        )(jnp.maximum(off, 0))  # [B, S, w]
+        ivf2d = dev.ivf.reshape(-1, w)
+        win = ivf2d[
+            jnp.clip(off // w, 0, ivf2d.shape[0] - 1)
+        ]  # [B, S, w] row gather (off is w-aligned by layout)
         iota_w = jnp.arange(w, dtype=jnp.int32)
         valid = (iota_w[None, None, :] < rem[..., None]) & has[..., None]
         width = s_chunks * w
@@ -448,17 +457,23 @@ def candidates_impl(
         # suffix-maxed within equal-pid runs (a doc appears at most once
         # per cell, so runs are <= c_sel long).
         pid_s, own_s = jax.lax.sort((pid, ownw), dimension=-1, num_keys=1)
-        cells_sel = jnp.take_along_axis(cells, order_b, axis=-1)[:, :c_sel]
-        cell_scores = (
-            jnp.take_along_axis(
-                scores_qc, jnp.clip(cells_sel, 0, kp - 1)[:, None, :], axis=2
-            )
-            .transpose(0, 2, 1)
-            .astype(jnp.bfloat16)
-        )  # [B, c_sel, Q]
-        s_slot = jnp.take_along_axis(
-            cell_scores, own_s[..., None], axis=1
-        )  # [B, width, Q] bf16
+        cell_scores = jnp.take_along_axis(tbl, order_b[..., None], axis=1)[
+            :, :c_sel
+        ].astype(jnp.bfloat16)  # [B, c_sel, Q]
+        # Per-slot score rows via one-hot MXU matmul: a take_along_axis
+        # here is B*width (~2.6M) row descriptors — measured ~60 ms per
+        # 256-query tile on v5e, the single hottest op of the cascade.
+        # The one-hot is exact (one nonzero per row, any accumulation
+        # order), and the matmul is bandwidth-bound, not descriptor-bound.
+        onehot = (
+            own_s[..., None] == jnp.arange(c_sel, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)  # [B, width, c_sel]
+        s_slot = jax.lax.dot_general(
+            onehot,
+            cell_scores,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # [B, width, Q]
         neg16 = jnp.bfloat16(-3.0e38)
         step = 1
         while step < c_sel:
@@ -533,23 +548,42 @@ def candidates_impl(
         # deduped (no 2*n_full_scores truncation), so per-query max
         # discrimination survives coarse cells ("cells_full" requests this
         # path explicitly without a subset).
-        cells_safe = jnp.clip(cells, 0, kp - 1)
-        # Gather along the kp axis directly ([B, Q, C]) so XLA never
-        # materializes a [B, kp, Q] transposed copy of the score tensor.
-        cell_scores = (
-            jnp.take_along_axis(
-                scores_qc, cells_safe[:, None, :], axis=2
-            )  # [B, Q, C]
-            .transpose(0, 2, 1)
-            .astype(jnp.bfloat16)
-        )  # [B, C, Q]
+        cell_scores = tbl.astype(jnp.bfloat16)  # [B, C, Q]
 
-        # Per-slot score lookup: a plain row gather from the VMEM-sized
-        # [B, C, Q] table (measured ~30x faster than the one-hot MXU
-        # matmul it replaces at C=256, Q=32 on v5e).
-        s_slot = jnp.take_along_axis(
-            cell_scores, cell_s[..., None], axis=1
-        )  # [B, cand_cap, Q] bf16
+        # Per-slot score rows via chunked one-hot MXU matmul: a row gather
+        # from the [B, C, Q] table issues B*cand_cap descriptors (tens of
+        # millions at scale — the measured wall of the cells_full path),
+        # while the one-hot contraction is bandwidth/MXU work. Chunk the
+        # slot axis so the [B, chunk, C] one-hot stays inside mem_budget.
+        c_chunk = max(
+            512,
+            min(
+                cand_cap,
+                (mem_budget // max(1, 2 * b * c_cells)) // 128 * 128,
+            ),
+        )
+        ncc = _chunk_count(cand_cap, c_chunk)
+        cell_sp = (
+            _pad_to(cell_s, ncc * c_chunk, 1, 0)
+            .reshape(b, ncc, c_chunk)
+            .transpose(1, 0, 2)
+        )
+
+        def slot_chunk(cs: jax.Array) -> jax.Array:  # [B, cc] -> [B, cc, Q]
+            onehot = (
+                cs[..., None] == jnp.arange(c_cells, dtype=jnp.int32)
+            ).astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                onehot,
+                cell_scores,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+
+        s_slot = jax.lax.map(slot_chunk, cell_sp)  # [ncc, B, cc, Q]
+        s_slot = (
+            s_slot.transpose(1, 0, 2, 3).reshape(b, ncc * c_chunk, q)
+        )[:, :cand_cap]  # [B, cand_cap, Q] bf16
 
         # Segmented suffix-max within equal-pid runs (doubling): after
         # log2(C) steps a run's first slot holds the max over the run.

@@ -427,12 +427,15 @@ def search_on_device(
     def emit(out, start: int, end: int) -> None:
         nonlocal dropped_total
         try:
+            # One batched device->host fetch for the whole result tuple:
+            # per-array np.asarray pays one device round trip EACH (~15 ms
+            # on remote-attached devices — measured 1838 vs 2791 QPS at the
+            # bench shape); jax.device_get coalesces them.
+            out = jax.device_get(out)
             if want_tokens:
-                pids, scores, tok, doc_lens, dropped = (
-                    np.asarray(x) for x in out
-                )
+                pids, scores, tok, doc_lens, dropped = out
             else:
-                pids, scores, dropped = (np.asarray(x) for x in out)
+                pids, scores, dropped = out
                 tok = doc_lens = None
         except Exception as exc:  # device-side failure: contain to this tile
             import warnings
@@ -584,6 +587,14 @@ def search_on_device(
                 use_rerank_kernel=use_kernel,
                 slot_budget=slot_budget,
             )
+            # Start the device->host result copies NOW so that by the time
+            # this tile reaches emit() (two dispatches later) the arrays
+            # are already host-resident and device_get returns instantly.
+            for leaf in out:
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:  # non-jax leaf (defensive)
+                    pass
             inflight.append((out, start, end))
             if len(inflight) >= 3:
                 emit(*inflight.popleft())

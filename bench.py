@@ -96,6 +96,10 @@ def main() -> None:
         and dev.emb_cache is not None
         and os.environ.get("FASTPLAID_NO_RERANK_KERNEL") != "1"
     )
+    est_kernel = (
+        jax.devices()[0].platform == "tpu"
+        and os.environ.get("FASTPLAID_NO_ESTIMATE_KERNEL") != "1"
+    )
 
     def run(batch):
         return search_core(
@@ -111,6 +115,7 @@ def main() -> None:
             mem_budget=mem_budget,
             use_rerank_kernel=use_kernel,
             slot_budget=slot_budget,
+            use_estimate_kernel=est_kernel,
         )
 
     # Big device-resident tiles (sized to HBM) with DIFFERENT queries per

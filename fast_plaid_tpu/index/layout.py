@@ -546,9 +546,11 @@ def _quantize_q4_2d(codes, residuals, centroids, bucket_weights, *, nbits, block
 
     packed, scale = jax.lax.map(one, jnp.arange(nb, dtype=jnp.int32))
     d2 = packed.shape[-1]
+    # No [:n] slice — it would copy the whole cache while both copies are
+    # live (measured OOM at 2M docs); padded tail rows are never gathered.
     return (
-        packed.reshape(nb * block, d2)[:n],
-        scale.reshape(nb * block)[:n],
+        packed.reshape(nb * block, d2),
+        scale.reshape(nb * block),
     )
 
 
@@ -579,4 +581,8 @@ def _decompress_2d(codes, residuals, centroids, bucket_weights, *, nbits, block)
         )
 
     out = jax.lax.map(one, jnp.arange(nb, dtype=jnp.int32))
-    return out.reshape(nb * block, cap, -1)[:n]
+    # Keep the block-padded row count: slicing [:n] would materialize a
+    # SECOND full-size copy at exactly the moment both are live (measured
+    # OOM at 2M docs). Caches are only ever row-gathered by pid < n, so
+    # the <block of padded tail rows are unreachable and cost only bytes.
+    return out.reshape(nb * block, cap, -1)

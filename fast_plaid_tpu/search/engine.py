@@ -158,6 +158,8 @@ def candidates_impl(
     approx_mode: str = "cells",
     with_stats: bool = False,
     slot_budget: int | None = None,
+    use_estimate_kernel: bool = False,
+    interpret_kernels: bool = False,
 ) -> jax.Array:
     """Cascade stages 1-5: probe, candidate generation, approximate scoring,
     pruning. Returns the rerank set p2 [B, R] (sentinel_pid padding), sorted
@@ -460,33 +462,45 @@ def candidates_impl(
         cell_scores = jnp.take_along_axis(tbl, order_b[..., None], axis=1)[
             :, :c_sel
         ].astype(jnp.bfloat16)  # [B, c_sel, Q]
-        # Per-slot score rows via one-hot MXU matmul: a take_along_axis
-        # here is B*width (~2.6M) row descriptors — measured ~60 ms per
-        # 256-query tile on v5e, the single hottest op of the cascade.
-        # The one-hot is exact (one nonzero per row, any accumulation
-        # order), and the matmul is bandwidth-bound, not descriptor-bound.
-        onehot = (
-            own_s[..., None] == jnp.arange(c_sel, dtype=jnp.int32)
-        ).astype(jnp.bfloat16)  # [B, width, c_sel]
-        s_slot = jax.lax.dot_general(
-            onehot,
-            cell_scores,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)  # [B, width, Q]
-        neg16 = jnp.bfloat16(-3.0e38)
-        step = 1
-        while step < c_sel:
-            eq = pid_s[:, :-step] == pid_s[:, step:]
-            shifted = jnp.where(eq[..., None], s_slot[:, step:, :], neg16)
-            s_slot = s_slot.at[:, :-step, :].max(shifted)
-            step *= 2
         is_start = jnp.concatenate(
             [jnp.ones((b, 1), bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=-1
         ) & (pid_s != sent_pid)
-        approx = jnp.where(
-            is_start, jnp.sum(s_slot.astype(jnp.float32), axis=-1), NEG
-        )
+        if use_estimate_kernel:
+            # Fused Pallas path (ops/estimate_kernel.py): one-hot matmul +
+            # segmented run-max + Q-sum in VMEM; HBM traffic is just the
+            # [B, width] int32 reads + one f32 write.
+            from fast_plaid_tpu.ops.estimate_kernel import segmented_estimate
+
+            est = segmented_estimate(
+                pid_s, own_s, cell_scores, interpret=interpret_kernels
+            )
+            approx = jnp.where(is_start, est, NEG)
+        else:
+            # Per-slot score rows via one-hot MXU matmul: a take_along_axis
+            # here is B*width (~2.6M) row descriptors — measured ~60 ms per
+            # 256-query tile on v5e, the single hottest op of the cascade.
+            # The one-hot is exact (one nonzero per row, any accumulation
+            # order), and the matmul is bandwidth-bound, not
+            # descriptor-bound.
+            onehot = (
+                own_s[..., None] == jnp.arange(c_sel, dtype=jnp.int32)
+            ).astype(jnp.bfloat16)  # [B, width, c_sel]
+            s_slot = jax.lax.dot_general(
+                onehot,
+                cell_scores,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # [B, width, Q]
+            neg16 = jnp.bfloat16(-3.0e38)
+            step = 1
+            while step < c_sel:
+                eq = pid_s[:, :-step] == pid_s[:, step:]
+                shifted = jnp.where(eq[..., None], s_slot[:, step:, :], neg16)
+                s_slot = s_slot.at[:, :-step, :].max(shifted)
+                step *= 2
+            approx = jnp.where(
+                is_start, jnp.sum(s_slot.astype(jnp.float32), axis=-1), NEG
+            )
 
         # ---- 5. prune straight to the exact-rerank pool (n_full/2); an
         # exact top_k here would only re-derive an order the exact rerank
@@ -550,55 +564,67 @@ def candidates_impl(
         # path explicitly without a subset).
         cell_scores = tbl.astype(jnp.bfloat16)  # [B, C, Q]
 
-        # Per-slot score rows via chunked one-hot MXU matmul: a row gather
-        # from the [B, C, Q] table issues B*cand_cap descriptors (tens of
-        # millions at scale — the measured wall of the cells_full path),
-        # while the one-hot contraction is bandwidth/MXU work. Chunk the
-        # slot axis so the [B, chunk, C] one-hot stays inside mem_budget.
-        c_chunk = max(
-            512,
-            min(
-                cand_cap,
-                (mem_budget // max(1, 2 * b * c_cells)) // 128 * 128,
-            ),
-        )
-        ncc = _chunk_count(cand_cap, c_chunk)
-        cell_sp = (
-            _pad_to(cell_s, ncc * c_chunk, 1, 0)
-            .reshape(b, ncc, c_chunk)
-            .transpose(1, 0, 2)
-        )
+        if use_estimate_kernel:
+            # Fused Pallas path: see ops/estimate_kernel.py. At cells_full
+            # widths (cand_cap can reach 10^5+ slots) the XLA realization
+            # below materializes [B, cand_cap, Q] in HBM several times.
+            from fast_plaid_tpu.ops.estimate_kernel import segmented_estimate
 
-        def slot_chunk(cs: jax.Array) -> jax.Array:  # [B, cc] -> [B, cc, Q]
-            onehot = (
-                cs[..., None] == jnp.arange(c_cells, dtype=jnp.int32)
-            ).astype(jnp.bfloat16)
-            return jax.lax.dot_general(
-                onehot,
-                cell_scores,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
+            est = segmented_estimate(
+                pid_s, cell_s, cell_scores, interpret=interpret_kernels
+            )
+            approx = jnp.where(is_start, est, NEG)
+        else:
+            # Per-slot score rows via chunked one-hot MXU matmul: a row
+            # gather from the [B, C, Q] table issues B*cand_cap descriptors
+            # (tens of millions at scale — the measured wall of the
+            # cells_full path), while the one-hot contraction is
+            # bandwidth/MXU work. Chunk the slot axis so the [B, chunk, C]
+            # one-hot stays inside mem_budget.
+            c_chunk = max(
+                512,
+                min(
+                    cand_cap,
+                    (mem_budget // max(1, 2 * b * c_cells)) // 128 * 128,
+                ),
+            )
+            ncc = _chunk_count(cand_cap, c_chunk)
+            cell_sp = (
+                _pad_to(cell_s, ncc * c_chunk, 1, 0)
+                .reshape(b, ncc, c_chunk)
+                .transpose(1, 0, 2)
+            )
 
-        s_slot = jax.lax.map(slot_chunk, cell_sp)  # [ncc, B, cc, Q]
-        s_slot = (
-            s_slot.transpose(1, 0, 2, 3).reshape(b, ncc * c_chunk, q)
-        )[:, :cand_cap]  # [B, cand_cap, Q] bf16
+            def slot_chunk(cs: jax.Array) -> jax.Array:  # [B, cc] -> [B, cc, Q]
+                onehot = (
+                    cs[..., None] == jnp.arange(c_cells, dtype=jnp.int32)
+                ).astype(jnp.bfloat16)
+                return jax.lax.dot_general(
+                    onehot,
+                    cell_scores,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
 
-        # Segmented suffix-max within equal-pid runs (doubling): after
-        # log2(C) steps a run's first slot holds the max over the run.
-        neg = jnp.bfloat16(-3.0e38)
-        step = 1
-        while step < c_cells:
-            eq = pid_s[:, :-step] == pid_s[:, step:]
-            shifted = jnp.where(eq[..., None], s_slot[:, step:, :], neg)
-            s_slot = s_slot.at[:, : -step, :].max(shifted)
-            step *= 2
-        approx = jnp.where(
-            is_start,
-            jnp.sum(s_slot.astype(jnp.float32), axis=-1),
-            NEG,
-        )
+            s_slot = jax.lax.map(slot_chunk, cell_sp)  # [ncc, B, cc, Q]
+            s_slot = (
+                s_slot.transpose(1, 0, 2, 3).reshape(b, ncc * c_chunk, q)
+            )[:, :cand_cap]  # [B, cand_cap, Q] bf16
+
+            # Segmented suffix-max within equal-pid runs (doubling): after
+            # log2(C) steps a run's first slot holds the max over the run.
+            neg = jnp.bfloat16(-3.0e38)
+            step = 1
+            while step < c_cells:
+                eq = pid_s[:, :-step] == pid_s[:, step:]
+                shifted = jnp.where(eq[..., None], s_slot[:, step:, :], neg)
+                s_slot = s_slot.at[:, : -step, :].max(shifted)
+                step *= 2
+            approx = jnp.where(
+                is_start,
+                jnp.sum(s_slot.astype(jnp.float32), axis=-1),
+                NEG,
+            )
         cand_for_prune = pid_s
         pool_divisor = 2  # coarser estimator -> wider exact-rerank pool
     else:
@@ -908,6 +934,7 @@ def search_impl(
     with_stats: bool = False,
     use_rerank_kernel: bool = False,
     slot_budget: int | None = None,
+    use_estimate_kernel: bool = False,
 ):
     """Batched PLAID cascade (traceable body — also used inside shard_map).
 
@@ -933,6 +960,7 @@ def search_impl(
         approx_mode=approx_mode,
         with_stats=with_stats,
         slot_budget=slot_budget,
+        use_estimate_kernel=use_estimate_kernel,
     )
     p2, dropped = cand_out if with_stats else (cand_out, None)
 
@@ -950,6 +978,11 @@ def search_impl(
     exhaustive = n_ivf_probe >= ispec.n_partitions or (
         n_full_scores >= 2 * ispec.n_docs
     )
+    # Note: prefiltering through q4 when the bf16 cache is ALSO resident
+    # was measured a net loss (engine 3233 vs 3590 QPS at the bench shape)
+    # — the fused rerank kernels are row-DMA-descriptor-bound, so the q4
+    # pass at the full pool costs as much as the bf16 pass it replaces.
+    # The tier applies only when it's the best exact-capable store around.
     q4_pool = rescue_pool(top_k)
     if (
         dev.emb_q4 is not None
@@ -1083,6 +1116,7 @@ search_core = jax.jit(
         "with_stats",
         "use_rerank_kernel",
         "slot_budget",
+        "use_estimate_kernel",
     ),
 )
 
@@ -1145,6 +1179,8 @@ candidates_core = jax.jit(
         "approx_mode",
         "with_stats",
         "slot_budget",
+        "use_estimate_kernel",
+        "interpret_kernels",
     ),
 )
 

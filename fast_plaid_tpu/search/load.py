@@ -121,7 +121,9 @@ def _construct(
             # bf16 cache too big, q4 tier fits: prefilter from the 4x
             # smaller copy, exact-rescore the top slice via the codec.
             # (q4 re-quantizes the *decompressed* corpus, so it applies
-            # at any codec nbits.)
+            # at any codec nbits.) Building BOTH tiers is a measured net
+            # loss — the rerank kernels are row-DMA-bound, see
+            # engine.search_impl.
             dev = build_q4_cache(dev, ispec)
     host_kwargs = {}
     if low_memory:

@@ -186,6 +186,7 @@ def _lm_candidates(
     cand_cap: int | None,
     approx_mode: str,
     slot_budget: int | None = None,
+    use_estimate_kernel: bool = False,
 ):
     """Low_memory phase 1: dispatch the device candidate cascade (async)."""
     return candidates_core(
@@ -200,6 +201,7 @@ def _lm_candidates(
         approx_mode=approx_mode,
         with_stats=True,
         slot_budget=slot_budget,
+        use_estimate_kernel=use_estimate_kernel,
     )
 
 
@@ -506,6 +508,10 @@ def search_on_device(
                 return
             emit(out, start, end)
 
+        est_kernel = (
+            loaded.device.platform == "tpu"
+            and os.environ.get("FASTPLAID_NO_ESTIMATE_KERNEL") != "1"
+        )
         with ThreadPoolExecutor(max_workers=1) as pool:
             inflight: deque = deque()
             for start in iterator:
@@ -520,6 +526,7 @@ def search_on_device(
                     cand_cap=cand_cap,
                     approx_mode=approx_mode,
                     slot_budget=slot_budget,
+                    use_estimate_kernel=est_kernel,
                 )
                 if lm_q4:
                     # Phase 2: on-device q4 prefilter — only the rescue
@@ -562,6 +569,12 @@ def search_on_device(
             and not loaded.dev.buckets
             and os.environ.get("FASTPLAID_NO_RERANK_KERNEL") != "1"
         )
+        # Fused Pallas slot-estimate kernel (ops/estimate_kernel.py): no
+        # cache requirement — any real-TPU cascade benefits.
+        est_kernel = (
+            loaded.device.platform == "tpu"
+            and os.environ.get("FASTPLAID_NO_ESTIMATE_KERNEL") != "1"
+        )
         # Dispatch ahead of conversion: emit() forces a device->host sync,
         # so converting tile i only after tile i+1 is dispatched keeps the
         # device busy (on remote-attached devices the per-sync round trip
@@ -586,6 +599,7 @@ def search_on_device(
                 with_stats=True,
                 use_rerank_kernel=use_kernel,
                 slot_budget=slot_budget,
+                use_estimate_kernel=est_kernel,
             )
             # Start the device->host result copies NOW so that by the time
             # this tile reaches emit() (two dispatches later) the arrays

@@ -206,6 +206,10 @@ def run_chip(args):
         and (dev.emb_cache is not None or dev.emb_q4 is not None)
         and os.environ.get("FASTPLAID_NO_RERANK_KERNEL") != "1"
     )
+    est_kernel = (
+        jax.devices()[0].platform == "tpu"
+        and os.environ.get("FASTPLAID_NO_ESTIMATE_KERNEL") != "1"
+    )
 
     def run(batch, mode):
         return search_core(
@@ -222,6 +226,7 @@ def run_chip(args):
             approx_mode=mode,
             use_rerank_kernel=use_kernel,
             slot_budget=slot_budget,
+            use_estimate_kernel=est_kernel,
         )
 
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]

@@ -134,7 +134,12 @@ def main() -> None:
 
     tiles = [gen_queries(jax.random.PRNGKey(100 + i)) for i in range(reps)]
     jax.block_until_ready(tiles)
-    jax.block_until_ready(run(tiles[0]))  # warmup/compile
+    # TRUE warmup: pull a value. Through this environment's remote-compile
+    # service, block_until_ready returns EARLY while compilation is still
+    # in flight (measured: block 0.000 s, value pull 91 s on the same
+    # fresh executable) — only a host value forces real completion, and
+    # only after one real completion are subsequent blocks honest.
+    float(np.asarray(run(tiles[0])[1]).ravel()[0])
 
     t0 = time.perf_counter()
     outs = [run(t) for t in tiles]

@@ -157,7 +157,7 @@ class DeviceIndex(NamedTuple):
     # returned scores stay codec-exact. In low_memory mode it lives on
     # device in place of the residuals and shrinks the host->device
     # rerank stream ~30x (only the rescore slice crosses).
-    emb_q4: jax.Array | None = None  # [Np, doc_cap/2 * D] u8 (lane-flat)
+    emb_q4: jax.Array | None = None  # [Np * doc_cap/2, D] u8 (row 2-D)
     q4_scale: jax.Array | None = None  # [Np] f32 per-document scale
     # Length-bucketed rerank layout (ispec.bucket_caps non-empty when set):
     # residuals/emb live per bucket at the bucket cap; ``residuals`` /
@@ -508,10 +508,14 @@ def build_q4_cache(
 def quantize_q4_rows(codes_rows, res_rows, centroids, bucket_weights, *, nbits):
     """Decompress + q4-quantize pre-gathered doc-major rows.
 
-    [N, cap] codes + [N, cap, PD] residuals -> ([N, cap/2 * D] u8 packed,
-    [N] f32 per-doc scales). The low_memory cache builder streams host
-    rows through this in blocks (the wire bytes equal the finished cache,
-    so building costs one pass of the corpus over the interconnect).
+    [N, cap] codes + [N, cap, PD] residuals -> ([N * cap/2, D] u8 packed,
+    [N] f32 per-doc scales). The packed store is 2-D with D on lanes —
+    the exact layout the Pallas q4 kernel DMAs (doc row block =
+    [pid*cap/2, (pid+1)*cap/2)); any other shape forces XLA to relayout
+    the WHOLE cache at search time (measured: a 5.7 GB HLO-temp copy at
+    2M docs). The low_memory cache builder streams host rows through
+    this in blocks (the wire bytes equal the finished cache, so building
+    costs one pass of the corpus over the interconnect).
     """
     from fast_plaid_tpu.ops import codec as codec_ops
     from fast_plaid_tpu.ops.q4cache import quantize_emb_q4
@@ -521,7 +525,7 @@ def quantize_q4_rows(codes_rows, res_rows, centroids, bucket_weights, *, nbits):
         codes_rows, res_rows, centroids, bucket_weights, nbits
     )
     packed, scale = quantize_emb_q4(emb)
-    return packed.reshape(n, -1), scale
+    return packed.reshape(n * (cap // 2), -1), scale
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "block"))
@@ -542,14 +546,17 @@ def _quantize_q4_2d(codes, residuals, centroids, bucket_weights, *, nbits, block
         ).reshape(block, cap, pd)
         emb = codec_ops.decompress(cc, rr, centroids, bucket_weights, nbits)
         packed, scale = quantize_emb_q4(emb)
-        return packed.reshape(block, -1), scale
+        # [block * cap/2, D]: the kernel-native 2-D layout (see
+        # quantize_q4_rows) — reshaped per block so the stacked map
+        # output concatenates into it for free.
+        return packed.reshape(block * (cap // 2), -1), scale
 
     packed, scale = jax.lax.map(one, jnp.arange(nb, dtype=jnp.int32))
     d2 = packed.shape[-1]
     # No [:n] slice — it would copy the whole cache while both copies are
     # live (measured OOM at 2M docs); padded tail rows are never gathered.
     return (
-        packed.reshape(nb * block, d2),
+        packed.reshape(nb * block * (cap // 2), d2),
         scale.reshape(nb * block),
     )
 

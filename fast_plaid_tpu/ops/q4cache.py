@@ -83,7 +83,7 @@ def dequantize_emb_q4(
 
 @functools.partial(jax.jit, static_argnames=("mem_budget",))
 def score_q4(
-    emb_q4: jax.Array,  # [Np, doc_cap/2 * D] u8 (lane-flattened)
+    emb_q4: jax.Array,  # [Np * doc_cap/2, D] u8 (row 2-D, layout.py)
     q4_scale: jax.Array,  # [Np] f32
     doc_lengths: jax.Array,  # [Np] int32
     pids: jax.Array,  # [B, R] int32 (sentinel = zero-length row is fine)
@@ -99,10 +99,10 @@ def score_q4(
     """
     queries = queries.astype(jnp.float32)
     b, r = pids.shape
-    npd = emb_q4.shape[0]
+    npd = q4_scale.shape[0]
     d = queries.shape[-1]
     q = queries.shape[1]
-    caph = emb_q4.shape[1] // d
+    caph = emb_q4.shape[0] // npd
     doc_cap = 2 * caph
     neg = jnp.float32(float("-inf"))
 
@@ -117,7 +117,8 @@ def score_q4(
     qb = queries.astype(jnp.bfloat16)
 
     def chunk(pc):
-        rows = emb_q4[pc].reshape(b, r_chunk, caph, d)
+        ridx = pc[..., None] * caph + jnp.arange(caph, dtype=jnp.int32)
+        rows = emb_q4[ridx]  # [B, Rc, caph, D]
         emb = dequantize_emb_q4(
             rows, jnp.ones(pc.shape[:2], jnp.float32), jnp.bfloat16
         )  # [B, Rc, doc_cap, D] (unscaled integer levels)

@@ -210,7 +210,8 @@ def _q4_kernel(pids_ref, lens_ref, q_ref, q4_hbm, out_ref, dat, sems):
     lane->sublane relayout.
 
     dat: [2, BC, r_tile, caph, D] u8 (caph = doc_cap/2).
-    q4_hbm: [Np, caph, D] u8. Output is the UNSCALED integer-level score.
+    q4_hbm: [Np * caph, D] u8 row 2-D — document pid's block is rows
+    [pid*caph, (pid+1)*caph). Output is the UNSCALED integer-level score.
     """
     rt = pl.program_id(0)
     n_rt = pl.num_programs(0)
@@ -223,7 +224,9 @@ def _q4_kernel(pids_ref, lens_ref, q_ref, q4_hbm, out_ref, dat, sems):
             for bj in range(bc):
                 pid = pids_ref[bj, j0 + i]
                 pltpu.make_async_copy(
-                    q4_hbm.at[pid], dat.at[slot, bj, i], sems.at[slot, bj, i]
+                    q4_hbm.at[pl.ds(pid * caph, caph)],
+                    dat.at[slot, bj, i],
+                    sems.at[slot, bj, i],
                 ).start()
             return 0
 
@@ -244,7 +247,9 @@ def _q4_kernel(pids_ref, lens_ref, q_ref, q4_hbm, out_ref, dat, sems):
         for bj in range(bc):
             pid = pids_ref[bj, j0 + i]
             pltpu.make_async_copy(
-                q4_hbm.at[pid], dat.at[slot, bj, i], sems.at[slot, bj, i]
+                q4_hbm.at[pl.ds(pid * caph, caph)],
+                dat.at[slot, bj, i],
+                sems.at[slot, bj, i],
             ).wait()
         return 0
 
@@ -274,7 +279,7 @@ def _q4_kernel(pids_ref, lens_ref, q_ref, q4_hbm, out_ref, dat, sems):
     jax.jit, static_argnames=("r_tile", "b_chunk", "interpret")
 )
 def maxsim_q4_gather_scores(
-    emb_q4: jax.Array,  # [Np, doc_cap/2 * D] u8 (lane-flattened)
+    emb_q4: jax.Array,  # [Np * doc_cap/2, D] u8 (row 2-D, layout.py)
     q4_scale: jax.Array,  # [Np] f32 per-document scales
     pids: jax.Array,  # [B, R] int32
     lens: jax.Array,  # [B, R] int32 valid token counts
@@ -290,14 +295,18 @@ def maxsim_q4_gather_scores(
     the tier for corpora whose bf16 cache exceeds HBM. The kernel scores
     raw integer levels; the per-document scale (which commutes with the
     MaxSim reduction) and the empty-row -inf mask are applied here.
+
+    The cache arrives in its stored 2-D shape and is consumed as-is —
+    any reshape of an HBM operand here makes XLA relayout-copy the WHOLE
+    cache inside the search program (measured 5.7 GB HLO temp -> OOM at
+    2M docs).
     """
     b, r = pids.shape
     d = queries.shape[-1]
     nq = queries.shape[1]
-    npd = emb_q4.shape[0]
-    caph = emb_q4.shape[1] // d
+    npd = q4_scale.shape[0]
+    caph = emb_q4.shape[0] // npd
     doc_cap = 2 * caph
-    q4_3d = emb_q4.reshape(npd, caph, d)
     rpad = (-r) % r_tile
     bpad = (-b) % b_chunk
     # Sentinel/padding pids address a real (zero-length) row; clip keeps
@@ -353,7 +362,7 @@ def maxsim_q4_gather_scores(
     def one(args):
         p, ln, q = args
         ln3 = ln.reshape(b_chunk, n_rt, r_tile).transpose(1, 0, 2)
-        out = kernel(p, ln3, q, q4_3d)  # [n_rt, BC, r_tile]
+        out = kernel(p, ln3, q, emb_q4)  # [n_rt, BC, r_tile]
         return out.transpose(1, 0, 2).reshape(b_chunk, rp)
 
     nb = bp // b_chunk

@@ -64,7 +64,7 @@ def test_bf16_kernel_matches_brute_force(corpus):
 def test_q4_kernel_matches_xla_path(corpus):
     emb, lens, pids, queries = corpus
     packed, scale = jax.jit(quantize_emb_q4)(jnp.asarray(emb))
-    packed_flat = packed.reshape(emb.shape[0], -1)
+    packed_flat = packed.reshape(emb.shape[0] * (emb.shape[1] // 2), -1)
     ref = np.asarray(
         score_q4(
             packed_flat,

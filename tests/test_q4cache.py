@@ -77,7 +77,9 @@ class TestScoreQ4:
         lens_p = np.zeros((np_docs,), np.int32)
         lens_p[:n_docs] = lens
         packed, scale = quantize_emb_q4(jnp.asarray(emb_p))
-        packed_flat = jnp.reshape(packed, (np_docs, doc_cap * (d // 2)))
+        # Row 2-D store layout (layout.quantize_q4_rows): doc pid's block
+        # is rows [pid*doc_cap/2, (pid+1)*doc_cap/2).
+        packed_flat = jnp.reshape(packed, (np_docs * (doc_cap // 2), d))
         queries = rng.standard_normal((b, q, d)).astype(np.float32)
         queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
         pids = rng.integers(0, n_docs, size=(b, 12)).astype(np.int32)

@@ -55,7 +55,7 @@ lens[-1] = 0  # zero-length sentinel row
 for i in range(npd):
     emb[i, lens[i]:] = 0
 packed, scale = jax.jit(quantize_emb_q4)(jnp.asarray(emb))
-packed_flat = packed.reshape(npd, -1)
+packed_flat = packed.reshape(npd * (cap // 2), -1)
 pids = rng.integers(0, npd, (b, r)).astype(np.int32)
 pids[0, :4] = npd - 1  # sentinel hits must score -inf
 queries = rng.standard_normal((b, qn, d)).astype(np.float32)

@@ -155,7 +155,7 @@ def run_chip(args):
         sample_docs=args.sample_docs,
         verbose=True,
     )
-    jax.block_until_ready(dev.residuals)
+    int(np.asarray(dev.codes.ravel()[0]))  # true completion (remote svc)
     if args.q4_cache:
         import gc
 
@@ -163,7 +163,7 @@ def run_chip(args):
         from fast_plaid_tpu.index.layout import build_q4_cache
 
         dev = build_q4_cache(dev, ispec)
-        jax.block_until_ready(dev.emb_q4)
+        int(np.asarray(dev.emb_q4.ravel()[0]))  # true completion
     if args.emb_cache:
         import gc
 
@@ -179,7 +179,7 @@ def run_chip(args):
             dev = cache_dev._replace(residuals=None)
         else:
             dev = build_emb_cache(dev, ispec)
-        jax.block_until_ready(dev.emb_cache)
+        float(np.asarray(dev.emb_cache.ravel()[0]))  # true completion
     build_s = time.perf_counter() - t0
     print(f"# build: {build_s:.1f}s  {ispec} emb_cache={args.emb_cache}")
 
@@ -232,7 +232,11 @@ def run_chip(args):
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]
     jax.block_until_ready(tiles)
     for mode in (args.approx or "cells").split(","):
-        jax.block_until_ready(run(tiles[0], mode))
+        # TRUE warmup: pull a value — through a remote-compile service,
+        # block_until_ready returns early while compilation is in flight
+        # (see bench.py), which would let compile tail (or worse, the
+        # timed executions themselves) escape the timed region.
+        float(np.asarray(run(tiles[0], mode)[1]).ravel()[0])
         t0 = time.perf_counter()
         outs = [run(t, mode) for t in tiles[1:]]
         jax.block_until_ready(outs)

@@ -145,6 +145,72 @@ def _dedup_sorted(x: jax.Array, sentinel) -> jax.Array:
     return jnp.where(dup, sentinel, x)
 
 
+def _slot_estimates(
+    pid_s: jax.Array,  # [B, W] int32, row-sorted by pid (sentinels last)
+    own_s: jax.Array,  # [B, W] int32 owning-cell index into cell_scores
+    cell_scores: jax.Array,  # [B, C, Q] bf16 probe-score table
+    *,
+    mem_budget: int,
+    use_kernel: bool,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-slot candidate estimates [B, W] f32: sum_q max over the slot's
+    equal-pid run of the owning cells' query-token scores (the per-query-max
+    PLAID stage-1 estimator). Only valid at each run's FIRST slot — mask
+    with is_start. Shared by the budgeted "cells" and untruncated
+    "cells_full" paths; the only difference between them is which slots
+    exist in (pid_s, own_s).
+
+    Two realizations: the fused Pallas kernel (one-hot matmul + segmented
+    run-max + Q-sum in VMEM, ops/estimate_kernel.py), or an XLA fallback —
+    chunked one-hot MXU matmul (a take_along_axis row gather here is
+    B*W descriptors, tens of millions at cells_full widths — the measured
+    wall of the pre-kernel path) followed by a log2(C)-step doubling
+    suffix-max within equal-pid runs.
+    """
+    if use_kernel:
+        from fast_plaid_tpu.ops.estimate_kernel import segmented_estimate
+
+        return segmented_estimate(
+            pid_s, own_s, cell_scores, interpret=interpret
+        )
+    b, width = pid_s.shape
+    c, q = cell_scores.shape[1], cell_scores.shape[2]
+    c_chunk = max(
+        512, min(width, (mem_budget // max(1, 2 * b * c)) // 128 * 128)
+    )
+    ncc = _chunk_count(width, c_chunk)
+    own_p = (
+        _pad_to(own_s, ncc * c_chunk, 1, 0)
+        .reshape(b, ncc, c_chunk)
+        .transpose(1, 0, 2)
+    )
+
+    def slot_chunk(cs: jax.Array) -> jax.Array:  # [B, cc] -> [B, cc, Q]
+        onehot = (
+            cs[..., None] == jnp.arange(c, dtype=jnp.int32)
+        ).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            onehot,
+            cell_scores,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+
+    s_slot = jax.lax.map(slot_chunk, own_p)  # [ncc, B, cc, Q]
+    s_slot = (s_slot.transpose(1, 0, 2, 3).reshape(b, ncc * c_chunk, q))[
+        :, :width
+    ]
+    neg = jnp.bfloat16(-3.0e38)
+    step = 1
+    while step < c:
+        eq = pid_s[:, :-step] == pid_s[:, step:]
+        shifted = jnp.where(eq[..., None], s_slot[:, step:, :], neg)
+        s_slot = s_slot.at[:, :-step, :].max(shifted)
+        step *= 2
+    return jnp.sum(s_slot.astype(jnp.float32), axis=-1)
+
+
 def candidates_impl(
     dev: DeviceIndex,
     queries: jax.Array,  # [B, Q, D] float32 (zero-padded query tokens)
@@ -294,7 +360,9 @@ def candidates_impl(
     base_tab = offs - seg_start  # [B, C]
     cell_ids = jnp.arange(c_cells, dtype=jnp.int32)
 
-    if approx_mode == "cells" and subset is None:  # fast cell-window path
+    if (
+        approx_mode in ("cells", "cells_full") and subset is None
+    ):  # fast cell-window path
         # ---- 3/4/5 (cells, fast path). Cells are ordered by total query
         # score and taken WHOLE until the slot budget fills; their IVF
         # lists arrive via dynamic-slice windows — never a per-slot scalar
@@ -327,6 +395,12 @@ def candidates_impl(
         exhaustive = (
             n_ivf_probe >= k_real or n_full_scores >= 2 * ispec.n_docs
         )
+        if approx_mode == "cells_full":
+            # The exhaustive branch scores at CELL granularity — sound only
+            # when the rerank pool covers the corpus. cells_full's contract
+            # is per-query-token estimates, so a full probe with a small
+            # pool still takes the budgeted (untruncated) branch.
+            exhaustive = n_full_scores >= 2 * ispec.n_docs
         k2 = min(cand_cap, ((n_full_scores + 127) // 128) * 128)
 
         if exhaustive:
@@ -382,33 +456,49 @@ def candidates_impl(
                 return p2, dropped
             return p2
 
-        # ---- budgeted chunked-window path.
-        budget = min(cand_cap, max(k2, slot_budget or 0))
-        typical = max(1, cand_cap // max(c_cells, 1))
-        c_sel = min(c_cells, max(8, -(-2 * budget // typical)))
-        # Giant-cell demotion: a hub cell (stopword-style — many times the
-        # mean cell size) carries almost no per-document information: every
-        # document it holds shares its score. Ranked by raw cell_tot such
-        # cells land FIRST for every query (stopword query tokens score
-        # them highly) and would eat the whole whole-cell budget, evicting
-        # the small content cells that actually discriminate. Demote them
-        # below every normal cell (but above sentinel/empty cells): content
-        # cells fill the budget first, and a giant enters only with budget
-        # left over — or as the fallback when a query probed nothing else.
-        # Documents reachable ONLY via a dropped giant are precisely those
-        # the estimator could not rank anyway; their hub contribution is
-        # near-uniform across the corpus (a constant shift in the
-        # reference's token estimator, search.rs:554-599).
-        mean_len = dev.ivf_lengths.sum() // jnp.maximum(k_real, 1)
-        giant_thresh = jnp.maximum(
-            (8 * mean_len).astype(jnp.int32), jnp.int32(budget // 4)
-        )
-        demoted = jnp.where(
-            (lens > giant_thresh) & jnp.isfinite(cell_tot),
-            cell_tot - jnp.float32(1e10),
-            cell_tot,
-        )
-        order_b = jnp.argsort(-demoted, axis=-1)
+        # ---- budgeted chunked-window path. "cells_full" shares the exact
+        # same layout with the budget opened to the full candidate capacity
+        # (every probed cell's list materializes; the estimator is
+        # untruncated) — the generic segmented path below costs ~6x more
+        # here because its candidate generation is a per-ELEMENT ivf gather
+        # (B*cand_cap descriptors) plus an O(B*cand_cap*C) ownership
+        # compare-reduce, where this path fetches whole 128-aligned IVF
+        # rows and resolves ownership at chunk granularity (128x fewer
+        # compares).
+        if approx_mode == "cells_full":
+            budget = cand_cap
+            c_sel = c_cells
+            # No demotion: every cell is admitted; ordering only decides
+            # which cells truncate first if an explicit cand_cap binds.
+            order_b = jnp.argsort(-cell_tot, axis=-1)
+        else:
+            budget = min(cand_cap, max(k2, slot_budget or 0))
+            typical = max(1, cand_cap // max(c_cells, 1))
+            c_sel = min(c_cells, max(8, -(-2 * budget // typical)))
+            # Giant-cell demotion: a hub cell (stopword-style — many times
+            # the mean cell size) carries almost no per-document
+            # information: every document it holds shares its score. Ranked
+            # by raw cell_tot such cells land FIRST for every query
+            # (stopword query tokens score them highly) and would eat the
+            # whole whole-cell budget, evicting the small content cells
+            # that actually discriminate. Demote them below every normal
+            # cell (but above sentinel/empty cells): content cells fill the
+            # budget first, and a giant enters only with budget left over —
+            # or as the fallback when a query probed nothing else.
+            # Documents reachable ONLY via a dropped giant are precisely
+            # those the estimator could not rank anyway; their hub
+            # contribution is near-uniform across the corpus (a constant
+            # shift in the reference's token estimator, search.rs:554-599).
+            mean_len = dev.ivf_lengths.sum() // jnp.maximum(k_real, 1)
+            giant_thresh = jnp.maximum(
+                (8 * mean_len).astype(jnp.int32), jnp.int32(budget // 4)
+            )
+            demoted = jnp.where(
+                (lens > giant_thresh) & jnp.isfinite(cell_tot),
+                cell_tot - jnp.float32(1e10),
+                cell_tot,
+            )
+            order_b = jnp.argsort(-demoted, axis=-1)
         offs_s = jnp.take_along_axis(offs, order_b, axis=-1)[:, :c_sel]
         lens_s = jnp.take_along_axis(lens, order_b, axis=-1)[:, :c_sel]
         csum = jnp.cumsum(lens_s, axis=-1)
@@ -465,48 +555,27 @@ def candidates_impl(
         is_start = jnp.concatenate(
             [jnp.ones((b, 1), bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=-1
         ) & (pid_s != sent_pid)
-        if use_estimate_kernel:
-            # Fused Pallas path (ops/estimate_kernel.py): one-hot matmul +
-            # segmented run-max + Q-sum in VMEM; HBM traffic is just the
-            # [B, width] int32 reads + one f32 write.
-            from fast_plaid_tpu.ops.estimate_kernel import segmented_estimate
-
-            est = segmented_estimate(
-                pid_s, own_s, cell_scores, interpret=interpret_kernels
-            )
-            approx = jnp.where(is_start, est, NEG)
-        else:
-            # Per-slot score rows via one-hot MXU matmul: a take_along_axis
-            # here is B*width (~2.6M) row descriptors — measured ~60 ms per
-            # 256-query tile on v5e, the single hottest op of the cascade.
-            # The one-hot is exact (one nonzero per row, any accumulation
-            # order), and the matmul is bandwidth-bound, not
-            # descriptor-bound.
-            onehot = (
-                own_s[..., None] == jnp.arange(c_sel, dtype=jnp.int32)
-            ).astype(jnp.bfloat16)  # [B, width, c_sel]
-            s_slot = jax.lax.dot_general(
-                onehot,
-                cell_scores,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)  # [B, width, Q]
-            neg16 = jnp.bfloat16(-3.0e38)
-            step = 1
-            while step < c_sel:
-                eq = pid_s[:, :-step] == pid_s[:, step:]
-                shifted = jnp.where(eq[..., None], s_slot[:, step:, :], neg16)
-                s_slot = s_slot.at[:, :-step, :].max(shifted)
-                step *= 2
-            approx = jnp.where(
-                is_start, jnp.sum(s_slot.astype(jnp.float32), axis=-1), NEG
-            )
+        est = _slot_estimates(
+            pid_s,
+            own_s,
+            cell_scores,
+            mem_budget=mem_budget,
+            use_kernel=use_estimate_kernel,
+            interpret=interpret_kernels,
+        )
+        approx = jnp.where(is_start, est, NEG)
 
         # ---- 5. prune straight to the exact-rerank pool (n_full/2); an
         # exact top_k here would only re-derive an order the exact rerank
-        # recomputes.
+        # recomputes. cells_full is the recall-safety net: it keeps the
+        # exact top_k (approx_max_k's ~0.95 per-element recall is inside
+        # PLAID's slack for the budgeted path, but the safety path should
+        # not reintroduce a stochastic miss).
         r = min(max(n_full_scores // 2, 1), width)
-        s1, i1 = jax.lax.approx_max_k(approx, r)
+        if approx_mode == "cells_full":
+            s1, i1 = jax.lax.top_k(approx, r)
+        else:
+            s1, i1 = jax.lax.approx_max_k(approx, r)
         p2 = jnp.where(
             jnp.isneginf(s1),
             sent_pid,
@@ -557,74 +626,21 @@ def candidates_impl(
         # ---- 4b. cell-level approximate scoring (PLAID stage-1): a
         # candidate's estimate is sum_q max over the probed cells it
         # occurs in of the query-token/cell score. Only the tiny [B, C, Q]
-        # probe-score table is gathered — no per-token work. Unlike the
-        # fast slot-score path above, every candidate slot is scored and
-        # deduped (no 2*n_full_scores truncation), so per-query max
-        # discrimination survives coarse cells ("cells_full" requests this
-        # path explicitly without a subset).
-        cell_scores = tbl.astype(jnp.bfloat16)  # [B, C, Q]
-
-        if use_estimate_kernel:
-            # Fused Pallas path: see ops/estimate_kernel.py. At cells_full
-            # widths (cand_cap can reach 10^5+ slots) the XLA realization
-            # below materializes [B, cand_cap, Q] in HBM several times.
-            from fast_plaid_tpu.ops.estimate_kernel import segmented_estimate
-
-            est = segmented_estimate(
-                pid_s, cell_s, cell_scores, interpret=interpret_kernels
-            )
-            approx = jnp.where(is_start, est, NEG)
-        else:
-            # Per-slot score rows via chunked one-hot MXU matmul: a row
-            # gather from the [B, C, Q] table issues B*cand_cap descriptors
-            # (tens of millions at scale — the measured wall of the
-            # cells_full path), while the one-hot contraction is
-            # bandwidth/MXU work. Chunk the slot axis so the [B, chunk, C]
-            # one-hot stays inside mem_budget.
-            c_chunk = max(
-                512,
-                min(
-                    cand_cap,
-                    (mem_budget // max(1, 2 * b * c_cells)) // 128 * 128,
-                ),
-            )
-            ncc = _chunk_count(cand_cap, c_chunk)
-            cell_sp = (
-                _pad_to(cell_s, ncc * c_chunk, 1, 0)
-                .reshape(b, ncc, c_chunk)
-                .transpose(1, 0, 2)
-            )
-
-            def slot_chunk(cs: jax.Array) -> jax.Array:  # [B, cc] -> [B, cc, Q]
-                onehot = (
-                    cs[..., None] == jnp.arange(c_cells, dtype=jnp.int32)
-                ).astype(jnp.bfloat16)
-                return jax.lax.dot_general(
-                    onehot,
-                    cell_scores,
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.bfloat16)
-
-            s_slot = jax.lax.map(slot_chunk, cell_sp)  # [ncc, B, cc, Q]
-            s_slot = (
-                s_slot.transpose(1, 0, 2, 3).reshape(b, ncc * c_chunk, q)
-            )[:, :cand_cap]  # [B, cand_cap, Q] bf16
-
-            # Segmented suffix-max within equal-pid runs (doubling): after
-            # log2(C) steps a run's first slot holds the max over the run.
-            neg = jnp.bfloat16(-3.0e38)
-            step = 1
-            while step < c_cells:
-                eq = pid_s[:, :-step] == pid_s[:, step:]
-                shifted = jnp.where(eq[..., None], s_slot[:, step:, :], neg)
-                s_slot = s_slot.at[:, : -step, :].max(shifted)
-                step *= 2
-            approx = jnp.where(
-                is_start,
-                jnp.sum(s_slot.astype(jnp.float32), axis=-1),
-                NEG,
-            )
+        # probe-score table is gathered — no per-token work. Every
+        # candidate slot is scored and deduped (no 2*n_full_scores
+        # truncation). Without a subset these modes take the chunked
+        # window path above; this segmented realization remains for
+        # subset-restricted searches, where membership filtering happens
+        # at slot granularity.
+        est = _slot_estimates(
+            pid_s,
+            cell_s,
+            tbl.astype(jnp.bfloat16),
+            mem_budget=mem_budget,
+            use_kernel=use_estimate_kernel,
+            interpret=interpret_kernels,
+        )
+        approx = jnp.where(is_start, est, NEG)
         cand_for_prune = pid_s
         pool_divisor = 2  # coarser estimator -> wider exact-rerank pool
     else:

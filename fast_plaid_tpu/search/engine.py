@@ -226,11 +226,22 @@ def candidates_impl(
     slot_budget: int | None = None,
     use_estimate_kernel: bool = False,
     interpret_kernels: bool = False,
+    pool_divisor: int = 2,
 ) -> jax.Array:
     """Cascade stages 1-5: probe, candidate generation, approximate scoring,
     pruning. Returns the rerank set p2 [B, R] (sentinel_pid padding), sorted
     by descending approximate score. Does not touch ``dev.residuals`` — the
     low_memory path keeps those in host RAM and streams only these R rows.
+
+    ``pool_divisor`` sets the exact-rerank pool R = n_full_scores //
+    pool_divisor for the budgeted cells paths (the exhaustive path keeps
+    /2 — its brute-force-identity contract needs the pool to cover the
+    corpus, and the tokens path keeps the reference's /4,
+    search.rs:614-619). The fused rerank kernels are row-DMA-descriptor
+    bound, so the rerank stage's cost is linear in R; with the per-query-
+    token slot estimator the top-k winners concentrate in the top
+    fraction of the pool (measured: /4 reproduces /2's top-10 sets
+    exactly at the bench scale) — the searcher resolves the default.
 
     With ``with_stats`` additionally returns dropped_slots [B] int32: the
     number of candidate slots truncated by the ``cand_cap`` buffer. Probed
@@ -571,7 +582,7 @@ def candidates_impl(
         # exact top_k (approx_max_k's ~0.95 per-element recall is inside
         # PLAID's slack for the budgeted path, but the safety path should
         # not reintroduce a stochastic miss).
-        r = min(max(n_full_scores // 2, 1), width)
+        r = min(max(n_full_scores // pool_divisor, 1), width)
         if approx_mode == "cells_full":
             s1, i1 = jax.lax.top_k(approx, r)
         else:
@@ -642,7 +653,8 @@ def candidates_impl(
         )
         approx = jnp.where(is_start, est, NEG)
         cand_for_prune = pid_s
-        pool_divisor = 2  # coarser estimator -> wider exact-rerank pool
+        # pool_divisor: caller's choice (subset-restricted searches share
+        # the per-query-max estimator, so the same pool economics apply).
     else:
         # ---- 4b'. token-level approximate scoring (reference parity).
         cand = jnp.where(is_start, pid_s, sent_pid)
@@ -951,6 +963,7 @@ def search_impl(
     use_rerank_kernel: bool = False,
     slot_budget: int | None = None,
     use_estimate_kernel: bool = False,
+    pool_divisor: int = 2,
 ):
     """Batched PLAID cascade (traceable body — also used inside shard_map).
 
@@ -977,6 +990,7 @@ def search_impl(
         with_stats=with_stats,
         slot_budget=slot_budget,
         use_estimate_kernel=use_estimate_kernel,
+        pool_divisor=pool_divisor,
     )
     p2, dropped = cand_out if with_stats else (cand_out, None)
 
@@ -1133,6 +1147,7 @@ search_core = jax.jit(
         "use_rerank_kernel",
         "slot_budget",
         "use_estimate_kernel",
+        "pool_divisor",
     ),
 )
 
@@ -1197,6 +1212,7 @@ candidates_core = jax.jit(
         "slot_budget",
         "use_estimate_kernel",
         "interpret_kernels",
+        "pool_divisor",
     ),
 )
 

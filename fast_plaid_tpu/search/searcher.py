@@ -187,6 +187,7 @@ def _lm_candidates(
     approx_mode: str,
     slot_budget: int | None = None,
     use_estimate_kernel: bool = False,
+    pool_divisor: int = 2,
 ):
     """Low_memory phase 1: dispatch the device candidate cascade (async)."""
     return candidates_core(
@@ -202,6 +203,7 @@ def _lm_candidates(
         with_stats=True,
         slot_budget=slot_budget,
         use_estimate_kernel=use_estimate_kernel,
+        pool_divisor=pool_divisor,
     )
 
 
@@ -368,17 +370,27 @@ def search_on_device(
     exhaustive = n_ivf_probe >= ispec.n_partitions or (
         n_full_scores >= 2 * ispec.n_docs
     )
+    # Exact-rerank pool R = n_full_scores // pool_divisor. The fused
+    # rerank kernels are row-DMA-descriptor-bound, so rerank cost is
+    # linear in R; with the per-query-token slot estimator the winners
+    # concentrate at the top of the pool (engine.candidates_impl
+    # docstring has the measured overlap evidence).
+    pool_divisor = int(os.environ.get("FASTPLAID_POOL_DIV", "2"))
     lm_q4 = (
         loaded.low_memory
         and loaded.dev.emb_q4 is not None
         and not exhaustive
-        and rescue_pool(top_k) < max(n_full_scores // 2, 1)
+        and rescue_pool(top_k) < max(n_full_scores // pool_divisor, 1)
     )
     if loaded.low_memory:
         # Bound the streamed rerank-row buffers (codes i32 + residuals u8 +
         # valid u8 per token) by the memory budget instead of a fixed cap;
         # the pipeline keeps two tiles in flight, so each gets half.
-        r_pool = rescue_pool(top_k) if lm_q4 else max(n_full_scores // 2, 1)
+        r_pool = (
+            rescue_pool(top_k)
+            if lm_q4
+            else max(n_full_scores // pool_divisor, 1)
+        )
         pd = loaded.host_residuals.shape[1] if loaded.host_residuals is not None else ispec.dim // 2
         per_q = r_pool * ispec.doc_cap * (pd + 5)
         b_tile = min(b_tile, max(1, (mem_budget // 2) // max(per_q, 1)))
@@ -527,6 +539,7 @@ def search_on_device(
                     approx_mode=approx_mode,
                     slot_budget=slot_budget,
                     use_estimate_kernel=est_kernel,
+                    pool_divisor=pool_divisor,
                 )
                 if lm_q4:
                     # Phase 2: on-device q4 prefilter — only the rescue
@@ -600,6 +613,7 @@ def search_on_device(
                 use_rerank_kernel=use_kernel,
                 slot_budget=slot_budget,
                 use_estimate_kernel=est_kernel,
+                pool_divisor=pool_divisor,
             )
             # Start the device->host result copies NOW so that by the time
             # this tile reaches emit() (two dispatches later) the arrays

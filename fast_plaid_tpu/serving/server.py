@@ -9,8 +9,13 @@ Endpoints (JSON bodies):
   POST /v1/search   {"queries": [[[f32]]] , "top_k": 10, ...}
                     or {"queries_b64": <base64 f32 bytes>,
                         "shape": [n, q_len, dim], ...}
-                    optional "subset": [[doc ids]] per query.
+                    optional "subset": [[doc ids]] per query;
+                    optional "priority": "interactive" (default) |
+                    "batch" — batch-lane requests never delay
+                    interactive ones (serving/batcher.py lanes).
   GET  /healthz     index + batcher stats.
+  GET  /metrics     Prometheus text format (request/query/dispatch
+                    counters, per-lane counts, latency histogram).
   POST /v1/update   {"documents_b64"/"documents": ..., "lengths": [...]}
   POST /v1/delete   {"subset": [ids]}
 
@@ -26,7 +31,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from fast_plaid_tpu.serving.batcher import MicroBatcher
+from fast_plaid_tpu.serving.batcher import LANES, MicroBatcher
 
 __all__ = ["SearchServer", "make_server"]
 
@@ -101,7 +106,8 @@ class SearchServer:
             str(payload.get("approx_mode", "auto")),
             subset is not None,
         )
-        fut = self.batcher.submit(queries, key, subsets=subset)
+        lane = LANES.get(str(payload.get("priority", "interactive")), 0)
+        fut = self.batcher.submit(queries, key, subsets=subset, lane=lane)
         rows = fut.result(timeout=float(payload.get("timeout_s", 120)))
         return {
             "results": [
@@ -163,6 +169,15 @@ def make_server(
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, core.health())
+            elif self.path == "/metrics":
+                body = core.batcher.stats.prometheus().encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": "not found"})
 

@@ -191,3 +191,71 @@ class TestHTTP:
         n_after = out["n_docs"]
         out2 = _post(base, "/v1/delete", {"subset": [0]})
         assert out2["n_docs"] == n_after - 1
+
+
+class TestLanesAndMetrics:
+    def test_interactive_lane_preempts_batch_lane(self):
+        order = []
+        gate = threading.Event()
+
+        def slow_search(queries, subsets, key):
+            order.append(key[0])
+            if key[0] == "first":
+                gate.wait(timeout=10)  # hold the dispatcher busy
+            return [[] for _ in queries]
+
+        mb = MicroBatcher(slow_search, max_batch=8, max_wait_ms=1)
+        try:
+            f0 = mb.submit([np.zeros((1, DIM))], ("first",))
+            time.sleep(0.05)  # let the dispatcher pick it up and block
+            # Enqueue batch-lane work FIRST, then interactive work.
+            fb = [
+                mb.submit([np.zeros((1, DIM))], ("bulk", i), lane=1)
+                for i in range(3)
+            ]
+            fi = mb.submit([np.zeros((1, DIM))], ("urgent",), lane=0)
+            gate.set()
+            fi.result(timeout=10)
+            for f in fb:
+                f.result(timeout=10)
+            f0.result(timeout=10)
+        finally:
+            mb.close()
+        # The interactive request dispatched before every bulk one despite
+        # arriving after them.
+        assert order[1] == "urgent"
+        snap = mb.stats.snapshot()
+        assert snap["lane_requests"]["interactive"] == 2
+        assert snap["lane_requests"]["batch"] == 3
+
+    def test_latency_histogram_counts(self):
+        def ok(queries, subsets, key):
+            return [[] for _ in queries]
+
+        mb = MicroBatcher(ok, max_batch=8, max_wait_ms=1)
+        try:
+            futs = [mb.submit([np.zeros((1, DIM))], ("k",)) for _ in range(5)]
+            for f in futs:
+                f.result(timeout=10)
+        finally:
+            mb.close()
+        text = mb.stats.prometheus()
+        assert "fastplaid_requests_total 5" in text
+        assert 'le="+Inf"} 5' in text
+        snap = mb.stats.snapshot()
+        assert snap["avg_latency_ms"] >= 0
+
+    def test_http_metrics_and_priority(self, server):
+        base, docs = server
+        rng = np.random.default_rng(9)
+        q = np.asarray(random_queries(rng, 1, 4, DIM))
+        _post(
+            base,
+            "/v1/search",
+            {"queries": q.tolist(), "top_k": 2, "priority": "batch"},
+        )
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "fastplaid_request_latency_seconds_bucket" in text
+        assert 'fastplaid_lane_requests_total{lane="batch"}' in text

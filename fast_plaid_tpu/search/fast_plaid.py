@@ -439,6 +439,7 @@ class FastPlaid:
         show_progress: bool,
         approx_mode: str = "auto",
         max_tile: int | None = None,
+        pool_divisor: int | None = None,
     ) -> list:
         """Split the query batch across devices (fast_plaid.py:797-928)."""
         loaded = [indices[str(d)] for d in self.devices]
@@ -455,6 +456,7 @@ class FastPlaid:
                 show_progress=show_progress,
                 approx_mode=approx_mode,
                 max_tile=max_tile,
+                pool_divisor=pool_divisor,
             )
         n_dev = min(len(loaded), len(queries))
         per = math.ceil(len(queries) / n_dev)
@@ -482,6 +484,7 @@ class FastPlaid:
                     show_progress=show_progress,
                     approx_mode=approx_mode,
                     max_tile=max_tile,
+                    pool_divisor=pool_divisor,
                 )
                 for (ld, qs, ss) in chunks
                 if qs
@@ -501,6 +504,7 @@ class FastPlaid:
         subset: list[list[int]] | list[int] | None = None,
         n_processes: int | None = None,  # noqa: ARG002 - API parity
         approx_mode: str = "auto",
+        pool_divisor: int | None = None,
     ) -> list[list[tuple[int, float]]]:
         """Search the index; returns per query a list of (doc_id, score).
 
@@ -512,6 +516,13 @@ class FastPlaid:
             TPU-native fast slot-pruning path), "cells_full" (untruncated
             cell estimator for coarse-cell indexes) or "tokens"
             (reference-parity token-level approximate scoring).
+        pool_divisor: exact-rerank pool R = n_full_scores // pool_divisor
+            for the budgeted estimators (default 2 — recall-first; the
+            reference uses 4 with its token-level estimator,
+            search.rs:614-619). On clustered real-embedding corpora 4 is
+            measured nDCG-neutral and ~1.5x faster (SCALE.md); on
+            unstructured corpora it visibly narrows the exact pool, so
+            it is opt-in. Env override: FASTPLAID_POOL_DIV.
         """
         indices, queries, subsets = self._prepare_search(queries_embeddings, subset)
         return self._dispatch_search(
@@ -525,6 +536,7 @@ class FastPlaid:
             show_progress=show_progress,
             approx_mode=approx_mode,
             max_tile=batch_size,
+            pool_divisor=pool_divisor,
         )
 
     def search_token_scores(
@@ -538,6 +550,7 @@ class FastPlaid:
         subset: list[list[int]] | list[int] | None = None,
         n_processes: int | None = None,  # noqa: ARG002
         approx_mode: str = "auto",
+        pool_divisor: int | None = None,
     ) -> list[list[tuple[int, float, np.ndarray]]]:
         """Like search() but each tuple carries a [q_tokens, doc_tokens] matrix."""
         indices, queries, subsets = self._prepare_search(queries_embeddings, subset)
@@ -552,6 +565,7 @@ class FastPlaid:
             show_progress=show_progress,
             approx_mode=approx_mode,
             max_tile=batch_size,
+            pool_divisor=pool_divisor,
         )
 
     # ------------------------------------------------------------------

@@ -271,6 +271,7 @@ def search_on_device(
     show_progress: bool = False,
     approx_mode: str = "cells",
     max_tile: int | None = None,
+    pool_divisor: int | None = None,
 ) -> list:
     """Run the cascade for a list of queries on one device.
 
@@ -372,10 +373,13 @@ def search_on_device(
     )
     # Exact-rerank pool R = n_full_scores // pool_divisor. The fused
     # rerank kernels are row-DMA-descriptor-bound, so rerank cost is
-    # linear in R; with the per-query-token slot estimator the winners
-    # concentrate at the top of the pool (engine.candidates_impl
-    # docstring has the measured overlap evidence).
-    pool_divisor = int(os.environ.get("FASTPLAID_POOL_DIV", "2"))
+    # linear in R; /4 measures ~1.5x engine QPS but visibly narrows the
+    # exact pool on unstructured corpora (SCALE.md pool-divisor table),
+    # so the default stays at the recall-first /2 and /4 is opt-in
+    # (explicit arg > FASTPLAID_POOL_DIV env > 2).
+    if pool_divisor is None:
+        pool_divisor = int(os.environ.get("FASTPLAID_POOL_DIV", "2"))
+    pool_divisor = max(1, int(pool_divisor))
     lm_q4 = (
         loaded.low_memory
         and loaded.dev.emb_q4 is not None

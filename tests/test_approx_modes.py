@@ -78,3 +78,35 @@ def test_auto_mode_selection(test_index_path):
         n_full_scores=1,
     )
     assert last_search_stats()["approx_mode"] == "cells_full"
+
+
+def test_pool_divisor_plumbs_and_keeps_winners(test_index_path):
+    """pool_divisor narrows the exact-rerank pool (R = n_full_scores //
+    divisor) without touching exactness: on a well-probed corpus where the
+    pool still covers the relevant candidates, results are identical, and
+    a planted self-retrieval query wins at every divisor."""
+    rng = np.random.default_rng(7)
+    docs = random_documents(rng, 60, 12, 32, variable=True)
+    eng = search.FastPlaid(index=test_index_path, device="cpu")
+    eng.create(documents_embeddings=docs)
+    probe = docs[17][:6][None]
+    base = eng.search(probe, top_k=5, show_progress=False)
+    for div in (2, 4, 8):
+        r = eng.search(
+            probe, top_k=5, show_progress=False, pool_divisor=div
+        )
+        assert r[0][0][0] == 17
+        # exact scores for shared winners match the default-pool run
+        sa = dict(base[0])
+        for pid, sc in r[0]:
+            if pid in sa:
+                assert abs(sa[pid] - sc) < 1e-4
+    # env-var override path
+    import os
+
+    os.environ["FASTPLAID_POOL_DIV"] = "4"
+    try:
+        r_env = eng.search(probe, top_k=5, show_progress=False)
+        assert r_env[0][0][0] == 17
+    finally:
+        del os.environ["FASTPLAID_POOL_DIV"]

@@ -227,6 +227,7 @@ def run_chip(args):
             use_rerank_kernel=use_kernel,
             slot_budget=slot_budget,
             use_estimate_kernel=est_kernel,
+            pool_divisor=args.pool_div,
         )
 
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]
@@ -285,6 +286,12 @@ def main():
     ap.add_argument("--full", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--emb-cache", action="store_true")
+    ap.add_argument(
+        "--pool-div",
+        type=int,
+        default=2,
+        help="exact-rerank pool divisor (R = n_full // pool_div)",
+    )
     ap.add_argument(
         "--q4-cache",
         action="store_true",

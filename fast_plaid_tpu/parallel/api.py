@@ -59,8 +59,16 @@ class ShardedFastPlaid:
         top_k: int = 10,
         n_full_scores: int = 4096,
         n_ivf_probe: int = 8,
+        approx_mode: str = "auto",
+        rank_admit: int | None = None,
+        pool_divisor: int = 2,
     ) -> list[list[tuple[int, float]]]:
-        """Batched search; returns per query a list of (doc_id, score)."""
+        """Batched search; returns per query a list of (doc_id, score).
+
+        ``approx_mode``/``rank_admit``/``pool_divisor`` mirror
+        ``FastPlaid.search`` — "auto" resolves through the same policy
+        (engine.resolve_approx_mode) over per-shard IVF statistics.
+        """
         queries = normalize_queries(queries_embeddings)
         if not queries:
             return []
@@ -79,6 +87,9 @@ class ShardedFastPlaid:
             n_ivf_probe=n_ivf_probe,
             n_full_scores=n_full_scores,
             mem_budget=self.mem_budget,
+            approx_mode=approx_mode,
+            rank_admit=rank_admit,
+            pool_divisor=pool_divisor,
         )
         pids, scores = np.asarray(pids), np.asarray(scores)
         out = []

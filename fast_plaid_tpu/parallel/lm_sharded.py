@@ -60,11 +60,16 @@ class ShardedLowMemory:
         approx_mode: str = "auto",
         mem_budget: int = 256 * 1024 * 1024,
         show_progress: bool = False,
+        rank_admit: int | None = None,
+        pool_divisor: int | None = None,
     ) -> list[list[tuple[int, float]]]:
         """Search every shard with the full query batch; exact host merge.
 
         Returns per query the global top_k as (pid, score), scores being
         the codec-exact MaxSim (identical to the single-device contract).
+        Each shard runs the full single-device driver (search_on_device),
+        so ``approx_mode="auto"``, ``rank_admit`` and ``pool_divisor``
+        resolve per shard through the same policy as one chip.
         """
         live = [
             (ld, base)
@@ -85,6 +90,8 @@ class ShardedLowMemory:
                 mem_budget=mem_budget,
                 show_progress=show_progress,
                 approx_mode=approx_mode,
+                rank_admit=rank_admit,
+                pool_divisor=pool_divisor,
             )
             return [
                 [(pid + base, score) for pid, score in row] for row in rows

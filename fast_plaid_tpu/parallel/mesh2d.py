@@ -86,6 +86,11 @@ def replicate_sharded_index(
         "mesh",
         "cand_cap",
         "approx_mode",
+        "slot_budget",
+        "rank_admit",
+        "pool_divisor",
+        "use_estimate_kernel",
+        "use_rerank_kernel",
     ),
 )
 def _search_2d_jit(
@@ -101,6 +106,11 @@ def _search_2d_jit(
     mesh: Mesh,
     cand_cap: int | None,
     approx_mode: str,
+    slot_budget: int | None = None,
+    rank_admit: int = 0,
+    pool_divisor: int = 2,
+    use_estimate_kernel: bool = False,
+    use_rerank_kernel: bool = False,
 ):
     def local(dev_blk: DeviceIndex, base_blk: jax.Array, q: jax.Array):
         # q: this replica's query slice (replicated along 'd' inside the
@@ -118,6 +128,11 @@ def _search_2d_jit(
             mem_budget=mem_budget,
             cand_cap=cand_cap,
             approx_mode=approx_mode,
+            slot_budget=slot_budget,
+            rank_admit=rank_admit,
+            pool_divisor=pool_divisor,
+            use_estimate_kernel=use_estimate_kernel,
+            use_rerank_kernel=use_rerank_kernel,
         )
         gpids = jnp.where(pids >= 0, pids + base_blk[0], -1)
         # Merge ONLY across this replica's shard group ('d'); the 'r'
@@ -151,11 +166,19 @@ def sharded_search_2d(
     n_ivf_probe: int = 8,
     n_full_scores: int = 4096,
     mem_budget: int = 256 * 1024 * 1024,
-    approx_mode: str = "cells",
+    approx_mode: str = "auto",
+    rank_admit: int | None = None,
+    pool_divisor: int = 2,
 ):
     """[B, Q, D] queries -> ([B, top_k] global ids, scores) on an
     ('r', 'd') mesh. Batches not divisible by n_replicas are padded with
-    zero queries and trimmed."""
+    zero queries and trimmed. ``approx_mode="auto"`` resolves through the
+    same policy as the single-chip driver (engine.resolve_approx_mode)."""
+    from fast_plaid_tpu.parallel.sharded import (
+        _kernel_flags,
+        _resolve_shard_params,
+    )
+
     mesh = sharded.mesh
     n_rep = mesh.shape["r"]
     q_np = np.asarray(queries, np.float32)
@@ -165,16 +188,16 @@ def sharded_search_2d(
         q_np = np.concatenate(
             [q_np, np.zeros((bp - b, *q_np.shape[1:]), np.float32)]
         )
-    cand_cap = None
-    if sharded.ivf_lengths_host is not None:
-        from fast_plaid_tpu.search.engine import candidate_capacity
-
-        n_cells = min(
-            q_np.shape[1] * n_ivf_probe, sharded.ispec.n_partitions
-        )
-        cand_cap = candidate_capacity(
-            sharded.ivf_lengths_host, n_cells, n_full_scores
-        )
+    approx_mode, rank_admit, slot_budget, cand_cap = _resolve_shard_params(
+        sharded.ivf_lengths_host,
+        sharded.ispec,
+        q_np.shape[1],
+        n_ivf_probe,
+        n_full_scores,
+        approx_mode,
+        rank_admit,
+    )
+    est_kernel, rerank_kernel = _kernel_flags(sharded.dev)
     q = jax.device_put(q_np, NamedSharding(mesh, P("r")))
     pids, scores = _search_2d_jit(
         sharded.dev,
@@ -188,5 +211,10 @@ def sharded_search_2d(
         mesh=mesh,
         cand_cap=cand_cap,
         approx_mode=approx_mode,
+        slot_budget=slot_budget,
+        rank_admit=rank_admit,
+        pool_divisor=pool_divisor,
+        use_estimate_kernel=est_kernel,
+        use_rerank_kernel=rerank_kernel,
     )
     return pids[:b], scores[:b]

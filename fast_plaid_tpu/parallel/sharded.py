@@ -156,6 +156,11 @@ def build_sharded_index(
         "mesh",
         "cand_cap",
         "approx_mode",
+        "slot_budget",
+        "rank_admit",
+        "pool_divisor",
+        "use_estimate_kernel",
+        "use_rerank_kernel",
     ),
 )
 def _sharded_search_jit(
@@ -171,6 +176,11 @@ def _sharded_search_jit(
     mesh: Mesh,
     cand_cap: int | None,
     approx_mode: str = "cells",
+    slot_budget: int | None = None,
+    rank_admit: int = 0,
+    pool_divisor: int = 2,
+    use_estimate_kernel: bool = False,
+    use_rerank_kernel: bool = False,
 ):
     axis = mesh.axis_names[0]
 
@@ -188,6 +198,11 @@ def _sharded_search_jit(
             mem_budget=mem_budget,
             cand_cap=cand_cap,
             approx_mode=approx_mode,
+            slot_budget=slot_budget,
+            rank_admit=rank_admit,
+            pool_divisor=pool_divisor,
+            use_estimate_kernel=use_estimate_kernel,
+            use_rerank_kernel=use_rerank_kernel,
         )
         gpids = jnp.where(pids >= 0, pids + base_blk[0], -1)
         # ICI merge: gather the tiny [B, top_k] per-chip results, re-top-k.
@@ -213,6 +228,74 @@ def _sharded_search_jit(
     )(dev, doc_base, queries)
 
 
+def _resolve_shard_params(
+    ivf_lengths_host,
+    ispec,
+    q_cap: int,
+    n_ivf_probe: int,
+    n_full_scores: int,
+    approx_mode: str,
+    rank_admit: int | None,
+):
+    """Shared per-shard parameter resolution for the mesh entry points.
+
+    Uses the same policy function as the single-chip driver
+    (engine.resolve_approx_mode) over the PER-SHARD IVF statistics
+    (ShardedIndex.ivf_lengths_host is the per-cell max across shards — a
+    conservative basis), so a corpus resolves to the same estimator
+    however it is distributed. Returns (approx_mode, rank_admit,
+    slot_budget, cand_cap).
+    """
+    from fast_plaid_tpu.search.engine import (
+        candidate_capacity,
+        resolve_approx_mode,
+        suggest_slot_budget,
+    )
+
+    cand_cap = None
+    slot_budget = None
+    if ivf_lengths_host is not None:
+        n_cells = min(q_cap * n_ivf_probe, ispec.n_partitions)
+        cand_cap = candidate_capacity(
+            ivf_lengths_host, n_cells, n_full_scores
+        )
+        slot_budget = suggest_slot_budget(ivf_lengths_host, n_full_scores)
+    approx_mode, rank_admit, slot_budget = resolve_approx_mode(
+        approx_mode,
+        ivf_lengths_host,
+        q_cap=q_cap,
+        n_ivf_probe=n_ivf_probe,
+        n_full_scores=n_full_scores,
+        n_partitions=ispec.n_partitions,
+        cand_cap=cand_cap,
+        rank_admit=rank_admit,
+        slot_budget=slot_budget,
+    )
+    return approx_mode, rank_admit, slot_budget, cand_cap
+
+
+def _kernel_flags(dev: DeviceIndex) -> tuple[bool, bool]:
+    """(use_estimate_kernel, use_rerank_kernel) for the platform the index
+    actually lives on — NOT the process default backend: a CPU-mesh test
+    (or a host-fallback index) must never enable Pallas Mosaic lowering
+    even when the default device is a TPU."""
+    import os
+
+    try:
+        leaf = next(a for a in jax.tree.leaves(dev) if hasattr(a, "devices"))
+        on_tpu = next(iter(leaf.devices())).platform == "tpu"
+    except StopIteration:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    est = on_tpu and os.environ.get("FASTPLAID_NO_ESTIMATE_KERNEL") != "1"
+    rer = (
+        on_tpu
+        and (dev.emb_cache is not None or dev.emb_q4 is not None)
+        and not dev.buckets
+        and os.environ.get("FASTPLAID_NO_RERANK_KERNEL") != "1"
+    )
+    return est, rer
+
+
 def sharded_search(
     sharded: ShardedIndex,
     queries: np.ndarray,
@@ -221,18 +304,28 @@ def sharded_search(
     n_ivf_probe: int = 8,
     n_full_scores: int = 4096,
     mem_budget: int = 256 * 1024 * 1024,
-    approx_mode: str = "cells",
+    approx_mode: str = "auto",
+    rank_admit: int | None = None,
+    pool_divisor: int = 2,
 ):
-    """Doc-sharded search: [B, Q, D] queries -> ([B, top_k] ids, scores)."""
-    q = jnp.asarray(queries, dtype=jnp.float32)
-    cand_cap = None
-    if sharded.ivf_lengths_host is not None:
-        from fast_plaid_tpu.search.engine import candidate_capacity
+    """Doc-sharded search: [B, Q, D] queries -> ([B, top_k] ids, scores).
 
-        n_cells = min(q.shape[1] * n_ivf_probe, sharded.ispec.n_partitions)
-        cand_cap = candidate_capacity(
-            sharded.ivf_lengths_host, n_cells, n_full_scores
-        )
+    ``approx_mode="auto"`` resolves through the same policy as the
+    single-chip driver (engine.resolve_approx_mode) using per-shard IVF
+    statistics — scaling from one chip to the mesh keeps the recall-safe
+    default and the rank-admission machinery.
+    """
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    approx_mode, rank_admit, slot_budget, cand_cap = _resolve_shard_params(
+        sharded.ivf_lengths_host,
+        sharded.ispec,
+        q.shape[1],
+        n_ivf_probe,
+        n_full_scores,
+        approx_mode,
+        rank_admit,
+    )
+    est_kernel, rerank_kernel = _kernel_flags(sharded.dev)
     return _sharded_search_jit(
         sharded.dev,
         sharded.doc_base,
@@ -245,6 +338,11 @@ def sharded_search(
         mesh=sharded.mesh,
         cand_cap=cand_cap,
         approx_mode=approx_mode,
+        slot_budget=slot_budget,
+        rank_admit=rank_admit,
+        pool_divisor=pool_divisor,
+        use_estimate_kernel=est_kernel,
+        use_rerank_kernel=rerank_kernel,
     )
 
 
@@ -258,13 +356,19 @@ def query_sharded_search(
     n_ivf_probe: int = 8,
     n_full_scores: int = 4096,
     mem_budget: int = 256 * 1024 * 1024,
+    approx_mode: str = "auto",
+    rank_admit: int | None = None,
+    pool_divisor: int = 2,
+    ivf_lengths_host: np.ndarray | None = None,
 ):
     """Replicated-index data parallelism: the query batch is mesh-sharded.
 
     [B, Q, D] queries; batches not divisible by the mesh size are padded
     with zero queries and trimmed from the result. XLA partitions the whole
     cascade along the batch dimension — the SPMD form of the reference's
-    thread-per-GPU dispatch.
+    thread-per-GPU dispatch. ``approx_mode="auto"`` resolves through the
+    shared policy (engine.resolve_approx_mode); pass ``ivf_lengths_host``
+    (host copy of dev.ivf_lengths) to avoid one device->host pull.
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
@@ -275,6 +379,18 @@ def query_sharded_search(
         q_np = np.concatenate(
             [q_np, np.zeros((bp - b, *q_np.shape[1:]), np.float32)]
         )
+    if ivf_lengths_host is None:
+        ivf_lengths_host = np.asarray(dev.ivf_lengths)[: ispec.n_partitions]
+    approx_mode, rank_admit, slot_budget, cand_cap = _resolve_shard_params(
+        ivf_lengths_host,
+        ispec,
+        q_np.shape[1],
+        n_ivf_probe,
+        n_full_scores,
+        approx_mode,
+        rank_admit,
+    )
+    est_kernel, rerank_kernel = _kernel_flags(dev)
     repl = NamedSharding(mesh, P())
     dev_repl = jax.tree.map(lambda x: jax.device_put(x, repl), dev)
     q = jax.device_put(jnp.asarray(q_np), NamedSharding(mesh, P(axis)))
@@ -287,6 +403,13 @@ def query_sharded_search(
             n_full_scores=n_full_scores,
             want_tokens=False,
             mem_budget=mem_budget,
+            cand_cap=cand_cap,
+            approx_mode=approx_mode,
+            slot_budget=slot_budget,
+            rank_admit=rank_admit,
+            pool_divisor=pool_divisor,
+            use_estimate_kernel=est_kernel,
+            use_rerank_kernel=rerank_kernel,
         )
     )
     pids, scores = fn(dev_repl, q, None)

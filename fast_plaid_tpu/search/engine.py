@@ -52,6 +52,8 @@ __all__ = [
     "reconstruct_core",
     "candidate_capacity",
     "suggest_slot_budget",
+    "suggest_safe_budget",
+    "resolve_approx_mode",
     "rescue_pool",
     "q4_prefilter_core",
 ]
@@ -227,11 +229,21 @@ def candidates_impl(
     use_estimate_kernel: bool = False,
     interpret_kernels: bool = False,
     pool_divisor: int = 2,
+    rank_admit: int = 0,
 ) -> jax.Array:
     """Cascade stages 1-5: probe, candidate generation, approximate scoring,
     pruning. Returns the rerank set p2 [B, R] (sentinel_pid padding), sorted
     by descending approximate score. Does not touch ``dev.residuals`` — the
     low_memory path keeps those in host RAM and streams only these R rows.
+
+    ``rank_admit`` > 0 turns on the rank-based admission tier in the
+    budgeted "cells" path: every query token's top-``rank_admit`` probed
+    cells are admitted whole ahead of the cell_tot ordering (see the inline
+    rationale at the tier). Combined with a budget sized to hold them
+    (suggest_safe_budget), this is the recall-safe replacement for crossing
+    over to the untruncated "cells_full" estimator — same per-query-max
+    estimates for every top-rank-matched document at a fraction of the
+    slot width.
 
     ``pool_divisor`` sets the exact-rerank pool R = n_full_scores //
     pool_divisor for the budgeted cells paths (the exhaustive path keeps
@@ -243,10 +255,12 @@ def candidates_impl(
     fraction of the pool (measured: /4 reproduces /2's top-10 sets
     exactly at the bench scale) — the searcher resolves the default.
 
-    With ``with_stats`` additionally returns dropped_slots [B] int32: the
-    number of candidate slots truncated by the ``cand_cap`` buffer. Probed
-    cells are laid out in descending probe-score order, so truncation drops
-    the *lowest*-scoring cells' candidates first.
+    With ``with_stats`` additionally returns a [B, 2] int32 stats array:
+    column 0 = slots the slot BUDGET pruned by design (the estimator
+    working as intended), column 1 = slots the static buffers (cand_cap /
+    c_sel) truncated beyond what the budget wanted — genuine overflow that
+    can cost recall. Probed cells are laid out in admission-priority order,
+    so truncation drops the *lowest*-priority cells' candidates first.
 
     approx_mode selects the pruning estimator:
 
@@ -303,10 +317,17 @@ def candidates_impl(
         .astype(qc_dtype)
     )
 
-    # ---- 2. IVF probe.
+    # ---- 2. IVF probe. Zero-padded query tokens (tile/length padding,
+    # zeroed bad queries) must not probe: their all-zero score rows would
+    # hand approx_max_k arbitrary cells, which the rank-admission tier
+    # would then admit ahead of real cells. They contribute exactly 0 to
+    # every estimate either way; masking only removes their junk cells.
+    tok_ok = jnp.sum(jnp.abs(queries), axis=-1) > 0  # [B, Q]
     cell_valid = jnp.arange(kp) < k_real
     probe_scores = jnp.where(
-        cell_valid[None, None, :], scores_qc, jnp.asarray(NEG, qc_dtype)
+        cell_valid[None, None, :] & tok_ok[..., None],
+        scores_qc,
+        jnp.asarray(NEG, qc_dtype),
     )
     if subset is not None:
         allowed = _allowed_cells_mask(
@@ -330,8 +351,18 @@ def candidates_impl(
     top_cell_scores = top_cell_scores.reshape(b, q, probe)
     cells = cells.reshape(b, q, probe)
     cells = jnp.where(top_cell_scores > NEG, cells, kp)  # kp = empty sentinel cell
-    cells = cells.reshape(b, q * probe)
-    cells = _dedup_sorted(jnp.sort(cells, axis=-1), kp)
+    # Pack each probed cell with its per-token probe rank (approx_max_k
+    # returns scores descending, so rank = position) and sort packed so
+    # the MINIMUM rank lands at each equal-cell run's head: the budgeted
+    # path's rank-based admission tier needs, per deduped cell, the best
+    # rank at which ANY query token probed it. kp * pp stays well inside
+    # int32 for every realistic partition count (2^22 cells x 256 probe).
+    pp = 1 << max((probe - 1).bit_length(), 1)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (b, q, probe), 2)
+    packed = jnp.where(cells == kp, kp * pp, cells * pp + rank)
+    packed = jnp.sort(packed.reshape(b, q * probe), axis=-1)
+    best_rank = packed % pp  # valid at each run head (post-dedup slot)
+    cells = _dedup_sorted(packed // pp, kp)
     # Per-cell/query-token score table [B, C, Q] for every probed cell,
     # RECOMPUTED from gathered centroid rows with one tiny MXU matmul
     # (0.5 GFLOP at the bench shape) rather than gathered out of the
@@ -351,6 +382,7 @@ def candidates_impl(
     order = jnp.argsort(-cell_pri, axis=-1)
     cells = jnp.take_along_axis(cells, order, axis=-1)
     tbl = jnp.take_along_axis(tbl, order[..., None], axis=1)
+    best_rank = jnp.take_along_axis(best_rank, order, axis=-1)
 
     # ---- 3. candidates: exactly-compacted segmented layout.
     # Instead of a [C, cell_cap] window per probed cell (max-cell padding
@@ -462,9 +494,12 @@ def candidates_impl(
                 jnp.take_along_axis(pid_s, i1, axis=1),
             )
             if with_stats:
+                # Exhaustive parameters are a brute-force-identity
+                # contract: every slot an explicit cand_cap truncates is
+                # genuine overflow, never intended pruning.
                 kept = jnp.sum(jnp.where(cell_ok, lens_s, 0), axis=-1)
-                dropped = jnp.maximum(total - kept, 0).astype(jnp.int32)
-                return p2, dropped
+                over = jnp.maximum(total - kept, 0).astype(jnp.int32)
+                return p2, jnp.stack([jnp.zeros_like(over), over], axis=-1)
             return p2
 
         # ---- budgeted chunked-window path. "cells_full" shares the exact
@@ -504,16 +539,46 @@ def candidates_impl(
             giant_thresh = jnp.maximum(
                 (8 * mean_len).astype(jnp.int32), jnp.int32(budget // 4)
             )
+            is_giant = (lens > giant_thresh) & jnp.isfinite(cell_tot)
             demoted = jnp.where(
-                (lens > giant_thresh) & jnp.isfinite(cell_tot),
-                cell_tot - jnp.float32(1e10),
-                cell_tot,
+                is_giant, cell_tot - jnp.float32(1e10), cell_tot
             )
+            if rank_admit > 0:
+                # Rank-based admission tier (the recall-safe budgeted
+                # selection, replacing the cells_full crossover for `auto`):
+                # every query token's top-``rank_admit`` probed cells are
+                # admitted WHOLE ahead of all cell_tot-ranked cells. Any
+                # document whose matching tokens' cells are per-token
+                # top-rank therefore receives its full per-query-max
+                # estimate — exactly the documents cell_tot ordering loses
+                # at scale, where a relevant document's cells are
+                # individually unremarkable by TOTAL score (one strong
+                # token drowned by Q-1 noise terms) yet rank first for
+                # their own token. cell_tot ordering fills the remaining
+                # budget; giants stay demoted even at rank 0 (their
+                # contribution is near-uniform, see above). Lower ranks
+                # admit first, so budget truncation degrades from the
+                # weakest rank down, never arbitrarily. Within a tier the
+                # f32 +1e10 offset erases cell_tot ordering — harmless,
+                # tiers are normally admitted whole.
+                tier0 = (best_rank < rank_admit) & (cells != kp) & ~is_giant
+                demoted = jnp.where(
+                    tier0,
+                    jnp.float32(1e10)
+                    * (rank_admit - best_rank).astype(jnp.float32),
+                    demoted,
+                )
+                c_sel = min(c_cells, max(c_sel, q * rank_admit + 8))
             order_b = jnp.argsort(-demoted, axis=-1)
-        offs_s = jnp.take_along_axis(offs, order_b, axis=-1)[:, :c_sel]
-        lens_s = jnp.take_along_axis(lens, order_b, axis=-1)[:, :c_sel]
-        csum = jnp.cumsum(lens_s, axis=-1)
-        cell_ok = (csum - lens_s) < budget  # whole cells until the budget
+        # Full-C admission pass first: cell_ok over every probed cell gives
+        # the budget's target keeps, so intended pruning and cand_cap
+        # overflow are accounted separately (see the with_stats block).
+        offs_o = jnp.take_along_axis(offs, order_b, axis=-1)
+        lens_o = jnp.take_along_axis(lens, order_b, axis=-1)
+        csum_full = jnp.cumsum(lens_o, axis=-1)
+        ok_full = (csum_full - lens_o) < budget  # whole cells until budget
+        offs_s, lens_s = offs_o[:, :c_sel], lens_o[:, :c_sel]
+        cell_ok = ok_full[:, :c_sel]
 
         # Chunk table: selected cells' lists decompose into IVF_ALIGN-wide
         # chunks laid end to end. Cell starts are IVF_ALIGN-aligned in the
@@ -578,12 +643,13 @@ def candidates_impl(
 
         # ---- 5. prune straight to the exact-rerank pool (n_full/2); an
         # exact top_k here would only re-derive an order the exact rerank
-        # recomputes. cells_full is the recall-safety net: it keeps the
-        # exact top_k (approx_max_k's ~0.95 per-element recall is inside
-        # PLAID's slack for the budgeted path, but the safety path should
-        # not reintroduce a stochastic miss).
+        # recomputes. The recall-safety configurations — cells_full and
+        # the rank-admitted tier — keep the exact top_k (approx_max_k's
+        # ~0.95 per-element recall is inside PLAID's slack for the plain
+        # budgeted path, but a safety path should not reintroduce a
+        # stochastic miss).
         r = min(max(n_full_scores // pool_divisor, 1), width)
-        if approx_mode == "cells_full":
+        if approx_mode == "cells_full" or rank_admit > 0:
             s1, i1 = jax.lax.top_k(approx, r)
         else:
             s1, i1 = jax.lax.approx_max_k(approx, r)
@@ -593,9 +659,27 @@ def candidates_impl(
             jnp.take_along_axis(pid_s, i1, axis=1),
         )
         if with_stats:
+            # Split the accounting. The slot budget and the c_sel cell cap
+            # are both part of the budgeted estimator's DESIGN, and both
+            # truncate in admission-priority order (weakest cells first) —
+            # slots they drop are intended pruning, never warned about.
+            # Genuine overflow is only what an explicit cand_cap clamped
+            # off the unconstrained budget (budget = min(cand_cap, ...)):
+            # that is a memory ceiling cutting into what the estimator
+            # wanted, the one condition that can silently cost recall. In
+            # cells_full mode the contract is untruncated estimation, so
+            # every dropped slot is overflow.
             kept = jnp.sum(jnp.where(cell_ok, lens_s, 0), axis=-1)
-            dropped = jnp.maximum(total - kept, 0).astype(jnp.int32)
-            return p2, dropped
+            if approx_mode == "cells_full":
+                over = jnp.maximum(total - kept, 0).astype(jnp.int32)
+                return p2, jnp.stack([jnp.zeros_like(over), over], axis=-1)
+            budget_free = max(k2, slot_budget or 0)  # pre-cand_cap intent
+            ok_free = (csum_full - lens_o) < budget_free
+            target_free = jnp.sum(jnp.where(ok_free, lens_o, 0), axis=-1)
+            target_cap = jnp.sum(jnp.where(ok_full, lens_o, 0), axis=-1)
+            over = jnp.maximum(target_free - target_cap, 0).astype(jnp.int32)
+            pruned = jnp.maximum(total - kept, 0).astype(jnp.int32) - over
+            return p2, jnp.stack([jnp.maximum(pruned, 0), over], axis=-1)
         return p2
 
     j_chunk = max(128, min(cand_cap, mem_budget // max(1, 8 * b * c_cells)))
@@ -700,8 +784,10 @@ def candidates_impl(
     r = min(max(n_full_scores // pool_divisor, 1), k1)
     p2 = p1[:, :r]  # top_k output is already sorted desc
     if with_stats:
-        dropped = jnp.maximum(total - cand_cap, 0).astype(jnp.int32)
-        return p2, dropped
+        # Segmented path: the static cand_cap buffer is the only truncation
+        # — genuine overflow (lowest-probe-score cells drop first).
+        over = jnp.maximum(total - cand_cap, 0).astype(jnp.int32)
+        return p2, jnp.stack([jnp.zeros_like(over), over], axis=-1)
     return p2
 
 
@@ -964,14 +1050,16 @@ def search_impl(
     slot_budget: int | None = None,
     use_estimate_kernel: bool = False,
     pool_divisor: int = 2,
+    rank_admit: int = 0,
 ):
     """Batched PLAID cascade (traceable body — also used inside shard_map).
 
     Returns (pids [B, top_k] int32 with -1 padding, scores [B, top_k] f32
     with -inf padding) and, when ``want_tokens``, additionally
     (token_scores [B, top_k, doc_cap, Q] f32, doc_lens [B, top_k] int32).
-    With ``with_stats`` a final dropped_slots [B] int32 array is appended
-    (candidate-buffer overflow accounting).
+    With ``with_stats`` a final [B, 2] int32 stats array is appended:
+    [:, 0] = budget-pruned slots (intended), [:, 1] = static-buffer
+    overflow slots (see candidates_impl).
     Requires a fully device-resident index (dev.residuals is not None).
     """
     queries = queries.astype(jnp.float32)  # f16 wire staging -> f32 math
@@ -991,8 +1079,9 @@ def search_impl(
         slot_budget=slot_budget,
         use_estimate_kernel=use_estimate_kernel,
         pool_divisor=pool_divisor,
+        rank_admit=rank_admit,
     )
-    p2, dropped = cand_out if with_stats else (cand_out, None)
+    p2, stats = cand_out if with_stats else (cand_out, None)
 
     b, q, d = queries.shape
     r = p2.shape[1]
@@ -1059,7 +1148,8 @@ def search_impl(
             dev, queries, p2, ispec=ispec, mem_budget=mem_budget
         )
         if with_stats:
-            dropped = dropped + qdrop
+            # Bucket-quota drops are static-buffer truncation -> overflow.
+            stats = stats.at[:, 1].add(qdrop)
     elif use_rerank_kernel and dev.emb_cache is not None:
         # Pallas fused gather+MaxSim (TPU only): candidate rows stream
         # HBM->VMEM once and only [B, R] scores come back — no decompressed
@@ -1101,7 +1191,7 @@ def search_impl(
     fp, fs = _final_topk(exact, p2, top_k)
 
     if not want_tokens:
-        return (fp, fs, dropped) if with_stats else (fp, fs)
+        return (fp, fs, stats) if with_stats else (fp, fs)
 
     # Token-score matrices for the winners only (recomputed — far cheaper
     # than materializing [B, R, doc_cap, Q] for every rerank candidate).
@@ -1128,7 +1218,7 @@ def search_impl(
         )
     doc_lens = jnp.where(fp < 0, 0, dev.doc_lengths[safe])
     if with_stats:
-        return fp, fs, tok, doc_lens, dropped
+        return fp, fs, tok, doc_lens, stats
     return fp, fs, tok, doc_lens
 
 
@@ -1148,6 +1238,7 @@ search_core = jax.jit(
         "slot_budget",
         "use_estimate_kernel",
         "pool_divisor",
+        "rank_admit",
     ),
 )
 
@@ -1213,6 +1304,7 @@ candidates_core = jax.jit(
         "use_estimate_kernel",
         "interpret_kernels",
         "pool_divisor",
+        "rank_admit",
     ),
 )
 
@@ -1299,6 +1391,94 @@ def suggest_slot_budget(
     h = min(n_hubs, lens.size)
     excess = int(lens[:h].sum()) - h * int(np.median(lens))
     return k2 + int(min(max(excess, 0), 4 * k2))
+
+
+def resolve_approx_mode(
+    approx_mode: str,
+    ivf_lengths_host: "np.ndarray | None",
+    *,
+    q_cap: int,
+    n_ivf_probe: int,
+    n_full_scores: int,
+    n_partitions: int,
+    cand_cap: int | None,
+    rank_admit: int | None = None,
+    slot_budget: int | None = None,
+) -> tuple[str, int, int | None]:
+    """Resolve "auto" to a concrete (approx_mode, rank_admit, slot_budget).
+
+    The single source of the estimator-selection policy — the single-chip
+    driver (search/searcher.py) and every sharded entry point
+    (parallel/sharded.py, parallel/mesh2d.py, parallel/lm_sharded.py) call
+    this with their own IVF statistics so a corpus resolves identically
+    however it is distributed.
+
+    Policy: below the measured 16x candidates-per-budget crossover the
+    plain budgeted "cells" estimator is recall-equivalent to the
+    untruncated one (SCALE.md); past it, stay on the budgeted layout but
+    enable rank-based admission (rank_admit=2 when the safe budget is
+    affordable, else 1) with the budget raised to hold the tier whole;
+    fall over to "cells_full" only when even the rank-1 tier approaches
+    the full candidate width (very coarse partitioning). Explicit modes
+    pass through, only normalizing rank_admit/slot_budget.
+    """
+    import numpy as np
+
+    if approx_mode == "auto":
+        approx_mode = "cells"
+        if ivf_lengths_host is not None:
+            lens_h = np.asarray(ivf_lengths_host, np.float64)
+            n_cells = min(q_cap * n_ivf_probe, max(n_partitions, 1))
+            expected = float(lens_h.mean()) * n_cells
+            if expected > 16.0 * n_full_scores:
+                affordable = max(32768, 8 * n_full_scores)
+                for r_adm in (2, 1):
+                    safe = suggest_safe_budget(
+                        ivf_lengths_host, n_full_scores, q_cap, r_adm
+                    )
+                    if safe <= affordable:
+                        break
+                if cand_cap is not None and safe >= cand_cap:
+                    approx_mode = "cells_full"
+                elif rank_admit is None:
+                    rank_admit = r_adm
+    rank_admit = 0 if rank_admit is None else max(0, int(rank_admit))
+    if rank_admit > 0 and ivf_lengths_host is not None:
+        # Whether auto-chosen or forced, the admission tier needs a budget
+        # sized to hold it whole (explicit larger budgets are kept).
+        slot_budget = max(
+            slot_budget or 0,
+            suggest_safe_budget(
+                ivf_lengths_host, n_full_scores, q_cap, rank_admit
+            ),
+        )
+    return approx_mode, rank_admit, slot_budget
+
+
+def suggest_safe_budget(
+    ivf_lengths: "np.ndarray",
+    n_full_scores: int,
+    q_cap: int,
+    rank_admit: int = 1,
+) -> int:
+    """Slot budget sized so the rank-based admission tier fits whole.
+
+    The tier admits every query token's top-``rank_admit`` probed cells
+    (up to q_cap * rank_admit cells); the p90 cell-length quantile covers
+    the size bias of probed cells (probe mass concentrates on larger
+    cells), on top of the hub-aware base budget. When a corpus's tail
+    defeats the quantile the ordered truncation still drops the weakest
+    admission rank first — safety degrades gradually, never arbitrarily.
+    """
+    import numpy as np
+
+    base = suggest_slot_budget(ivf_lengths, n_full_scores)
+    lens = np.asarray(ivf_lengths, np.int64)
+    if lens.size == 0:
+        return base
+    p90 = float(np.quantile(lens, 0.90))
+    need = int(q_cap * max(rank_admit, 0) * max(p90, 1.0))
+    return base + ((need + 127) // 128) * 128
 
 
 @functools.partial(jax.jit, static_argnames=("nbits",))

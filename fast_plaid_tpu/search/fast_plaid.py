@@ -440,6 +440,7 @@ class FastPlaid:
         approx_mode: str = "auto",
         max_tile: int | None = None,
         pool_divisor: int | None = None,
+        rank_admit: int | None = None,
     ) -> list:
         """Split the query batch across devices (fast_plaid.py:797-928)."""
         loaded = [indices[str(d)] for d in self.devices]
@@ -457,6 +458,7 @@ class FastPlaid:
                 approx_mode=approx_mode,
                 max_tile=max_tile,
                 pool_divisor=pool_divisor,
+                rank_admit=rank_admit,
             )
         n_dev = min(len(loaded), len(queries))
         per = math.ceil(len(queries) / n_dev)
@@ -485,6 +487,7 @@ class FastPlaid:
                     approx_mode=approx_mode,
                     max_tile=max_tile,
                     pool_divisor=pool_divisor,
+                    rank_admit=rank_admit,
                 )
                 for (ld, qs, ss) in chunks
                 if qs
@@ -505,17 +508,25 @@ class FastPlaid:
         n_processes: int | None = None,  # noqa: ARG002 - API parity
         approx_mode: str = "auto",
         pool_divisor: int | None = None,
+        rank_admit: int | None = None,
     ) -> list[list[tuple[int, float]]]:
         """Search the index; returns per query a list of (doc_id, score).
 
         ``batch_size`` caps the per-device query tile (a memory hint, as in
         the reference); the engine may pick a smaller tile automatically.
         approx_mode: "auto" (default — picks the recall-safe estimator
-            from IVF statistics; resolves to "cells" below the measured
-            crossover and "cells_full" past it), "cells" (the explicit
-            TPU-native fast slot-pruning path), "cells_full" (untruncated
-            cell estimator for coarse-cell indexes) or "tokens"
+            from IVF statistics; below the measured crossover it resolves
+            to the plain budgeted "cells" path, past it to "cells" with
+            rank-based admission — every query token's top probed cells
+            admitted whole under a budget sized to hold them — and to
+            "cells_full" only on very coarse indexes where even the
+            rank-1 tier approaches the full candidate width), "cells"
+            (the explicit TPU-native fast slot-pruning path),
+            "cells_full" (untruncated cell estimator) or "tokens"
             (reference-parity token-level approximate scoring).
+        rank_admit: admission tier for the budgeted estimator (None lets
+            "auto" pick from IVF statistics; an int forces it — 0
+            disables). See engine.candidates_impl.
         pool_divisor: exact-rerank pool R = n_full_scores // pool_divisor
             for the budgeted estimators (default 2 — recall-first; the
             reference uses 4 with its token-level estimator,
@@ -537,6 +548,7 @@ class FastPlaid:
             approx_mode=approx_mode,
             max_tile=batch_size,
             pool_divisor=pool_divisor,
+            rank_admit=rank_admit,
         )
 
     def search_token_scores(
@@ -551,6 +563,7 @@ class FastPlaid:
         n_processes: int | None = None,  # noqa: ARG002
         approx_mode: str = "auto",
         pool_divisor: int | None = None,
+        rank_admit: int | None = None,
     ) -> list[list[tuple[int, float, np.ndarray]]]:
         """Like search() but each tuple carries a [q_tokens, doc_tokens] matrix."""
         indices, queries, subsets = self._prepare_search(queries_embeddings, subset)
@@ -566,6 +579,7 @@ class FastPlaid:
             approx_mode=approx_mode,
             max_tile=batch_size,
             pool_divisor=pool_divisor,
+            rank_admit=rank_admit,
         )
 
     # ------------------------------------------------------------------

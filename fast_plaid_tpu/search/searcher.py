@@ -44,13 +44,28 @@ _LAST_STATS: dict[int, dict] = {}
 
 
 def last_search_stats() -> dict:
-    """Stats from the most recent search on the calling thread:
-    {"dropped_candidate_slots": int, "queries": int, "approx_mode": str}."""
+    """Stats from the most recent search on the calling thread.
+
+    Keys: ``queries``, ``approx_mode`` (resolved — "auto" never appears),
+    ``rank_admit`` (the admission tier the resolved mode ran with),
+    ``budget_pruned_slots`` (candidate slots the slot budget pruned BY
+    DESIGN — the estimator working as intended, not a problem),
+    ``cap_overflow_slots`` (slots the static buffers truncated beyond what
+    the budget wanted — genuine overflow that can cost recall; the only
+    condition that warns), and ``dropped_candidate_slots`` (legacy alias
+    of ``cap_overflow_slots``).
+    """
     import threading
 
     return dict(
         _LAST_STATS.get(
-            threading.get_ident(), {"dropped_candidate_slots": 0, "queries": 0}
+            threading.get_ident(),
+            {
+                "dropped_candidate_slots": 0,
+                "budget_pruned_slots": 0,
+                "cap_overflow_slots": 0,
+                "queries": 0,
+            },
         )
     )
 
@@ -188,6 +203,7 @@ def _lm_candidates(
     slot_budget: int | None = None,
     use_estimate_kernel: bool = False,
     pool_divisor: int = 2,
+    rank_admit: int = 0,
 ):
     """Low_memory phase 1: dispatch the device candidate cascade (async)."""
     return candidates_core(
@@ -204,6 +220,7 @@ def _lm_candidates(
         slot_budget=slot_budget,
         use_estimate_kernel=use_estimate_kernel,
         pool_divisor=pool_divisor,
+        rank_admit=rank_admit,
     )
 
 
@@ -211,7 +228,7 @@ def _lm_finish(
     loaded: LoadedIndex,
     tile_dev,
     p2,
-    dropped,
+    stats,
     rows,
     *,
     top_k: int,
@@ -236,7 +253,7 @@ def _lm_finish(
     )
     fp, fs = final_topk_core(exact, p2, top_k=top_k)
     if not want_tokens:
-        return fp, fs, dropped
+        return fp, fs, stats
     fp_np = np.asarray(fp)
     safe = np.where(fp_np < 0, ispec.sentinel_pid, fp_np)
     codes_k, res_k, valid_k = host_gather_rows(loaded, safe)
@@ -255,7 +272,7 @@ def _lm_finish(
         0,
         loaded.host_doc_lengths[np.clip(fp_np, 0, n_docs - 1)],
     )
-    return fp, fs, tok, doc_lens, dropped
+    return fp, fs, tok, doc_lens, stats
 
 
 def search_on_device(
@@ -272,11 +289,17 @@ def search_on_device(
     approx_mode: str = "cells",
     max_tile: int | None = None,
     pool_divisor: int | None = None,
+    rank_admit: int | None = None,
 ) -> list:
     """Run the cascade for a list of queries on one device.
 
     Returns, per query, a list of (pid, score) tuples — or
     (pid, score, token_matrix [q_tokens, doc_tokens]) when ``want_tokens``.
+
+    ``rank_admit``: admission tier for the budgeted cells estimator
+    (engine.candidates_impl). None lets ``approx_mode="auto"`` pick it
+    from IVF statistics (explicit modes default to 0 — unchanged
+    behavior); an integer forces it.
     """
     ispec = loaded.ispec
     if not ispec.has_ivf:
@@ -337,25 +360,23 @@ def search_on_device(
         slot_budget = suggest_slot_budget(
             loaded.ivf_lengths_host, n_full_scores
         )
-    if approx_mode == "auto":
-        # The fast cells estimator gives every candidate in a probed cell
-        # the SAME estimate; once typical candidate counts dwarf the
-        # 2*n_full_scores slot budget, its tie-truncation drops winners
-        # arbitrarily (engine.candidates_impl docstring). Measured on
-        # adversarial uniform-random corpora (tools/scale_run.py planted
-        # probes, hit@1): 1.0 at 12x the n_full_scores budget (57k docs),
-        # 0.75 at 24x (523k), 0.125 at 53x (2M). Recall-first crossover
-        # at 16x: past it, score every slot with per-query max
-        # discrimination ("cells_full" — the untruncated PLAID stage-1
-        # restricted to probed cells). Speed-sensitive callers on
-        # clustered real-embedding corpora can pass "cells" explicitly.
-        approx_mode = "cells"
-        if loaded.ivf_lengths_host is not None:
-            lens_h = np.asarray(loaded.ivf_lengths_host, np.float64)
-            n_cells = min(q_cap * n_ivf_probe, max(ispec.n_partitions, 1))
-            expected = float(lens_h.mean()) * n_cells
-            if expected > 16.0 * n_full_scores:
-                approx_mode = "cells_full"
+    # Resolve "auto" (and size the budget for any admission tier) via the
+    # shared policy — the sharded entry points call the same function, so
+    # a corpus resolves identically on one chip and on the mesh. Policy
+    # rationale lives on engine.resolve_approx_mode.
+    from fast_plaid_tpu.search.engine import resolve_approx_mode
+
+    approx_mode, rank_admit, slot_budget = resolve_approx_mode(
+        approx_mode,
+        loaded.ivf_lengths_host,
+        q_cap=q_cap,
+        n_ivf_probe=n_ivf_probe,
+        n_full_scores=n_full_scores,
+        n_partitions=ispec.n_partitions,
+        cand_cap=cand_cap,
+        rank_admit=rank_admit,
+        slot_budget=slot_budget,
+    )
     b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
     if cand_cap is not None:
         b_tile = min(
@@ -401,7 +422,8 @@ def search_on_device(
     b_tile = max(1, min(b_tile, nq))
 
     results: list = []
-    dropped_total = 0
+    pruned_total = 0
+    overflow_total = 0
     iterator = range(0, nq, b_tile)
     if show_progress and nq > b_tile:
         try:
@@ -443,7 +465,7 @@ def search_on_device(
         return end, tile_dev, sub_dev
 
     def emit(out, start: int, end: int) -> None:
-        nonlocal dropped_total
+        nonlocal pruned_total, overflow_total
         try:
             # One batched device->host fetch for the whole result tuple:
             # per-array np.asarray pays one device round trip EACH (~15 ms
@@ -451,9 +473,9 @@ def search_on_device(
             # bench shape); jax.device_get coalesces them.
             out = jax.device_get(out)
             if want_tokens:
-                pids, scores, tok, doc_lens, dropped = out
+                pids, scores, tok, doc_lens, stats = out
             else:
-                pids, scores, dropped = out
+                pids, scores, stats = out
                 tok = doc_lens = None
         except Exception as exc:  # device-side failure: contain to this tile
             import warnings
@@ -466,7 +488,8 @@ def search_on_device(
             )
             results.extend([[] for _ in range(end - start)])
             return
-        dropped_total += int(dropped[: end - start].sum())
+        pruned_total += int(stats[: end - start, 0].sum())
+        overflow_total += int(stats[: end - start, 1].sum())
         for bi in range(end - start):
             if (start + bi) in bad_queries:
                 results.append([])
@@ -498,9 +521,9 @@ def search_on_device(
         from concurrent.futures import ThreadPoolExecutor
 
         def gather_stage(args):
-            start, end, tile_dev, p2, dropped = args
+            start, end, tile_dev, p2, stats = args
             rows = host_gather_rows(loaded, np.asarray(p2))
-            return start, end, tile_dev, p2, dropped, rows
+            return start, end, tile_dev, p2, stats, rows
 
         def finish_stage(start: int, end: int, fut) -> None:
             try:
@@ -532,7 +555,7 @@ def search_on_device(
             inflight: deque = deque()
             for start in iterator:
                 end, tile_dev, sub_dev = make_tile(start)
-                p2, dropped = _lm_candidates(
+                p2, stats = _lm_candidates(
                     loaded,
                     tile_dev,
                     sub_dev,
@@ -544,6 +567,7 @@ def search_on_device(
                     slot_budget=slot_budget,
                     use_estimate_kernel=est_kernel,
                     pool_divisor=pool_divisor,
+                    rank_admit=rank_admit,
                 )
                 if lm_q4:
                     # Phase 2: on-device q4 prefilter — only the rescue
@@ -566,7 +590,7 @@ def search_on_device(
                         start,
                         end,
                         pool.submit(
-                            gather_stage, (start, end, tile_dev, p2, dropped)
+                            gather_stage, (start, end, tile_dev, p2, stats)
                         ),
                     )
                 )
@@ -618,6 +642,7 @@ def search_on_device(
                 slot_budget=slot_budget,
                 use_estimate_kernel=est_kernel,
                 pool_divisor=pool_divisor,
+                rank_admit=rank_admit,
             )
             # Start the device->host result copies NOW so that by the time
             # this tile reaches emit() (two dispatches later) the arrays
@@ -636,18 +661,24 @@ def search_on_device(
     import threading
 
     _LAST_STATS[threading.get_ident()] = {
-        "dropped_candidate_slots": dropped_total,
+        "dropped_candidate_slots": overflow_total,  # legacy alias
+        "budget_pruned_slots": pruned_total,
+        "cap_overflow_slots": overflow_total,
         "queries": nq,
         "approx_mode": approx_mode,  # resolved ("auto" -> actual choice)
+        "rank_admit": rank_admit,
     }
-    if dropped_total:
+    if overflow_total:
+        # Budget pruning (pruned_total) is the estimator working as
+        # designed and never warns; only static-buffer truncation beyond
+        # the budget's target — which can silently cost recall — does.
         import warnings
 
         warnings.warn(
-            f"candidate buffer overflow: {dropped_total} candidate slots "
-            f"(lowest-probe-score cells) truncated across {nq} queries; "
-            "raise mem_budget or n_full_scores if recall matters more "
-            "than memory",
+            f"candidate buffer overflow: {overflow_total} candidate slots "
+            f"(lowest-priority cells) truncated across {nq} queries beyond "
+            "the slot budget's own pruning; raise mem_budget or cand_cap "
+            "if recall matters more than memory",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -34,12 +34,20 @@ def test_quantize_bucketize_semantics():
 
 
 def test_assign_codes_matches_numpy():
+    """assign_codes scores in bf16 (MXU build path): the chosen centroid
+    must be within bf16 resolution of the numpy-f64 optimum — a flip needs
+    two centroids within ~0.4% relative, where either is an equally good
+    coarse quantizer (see the assign_codes docstring)."""
     rng = np.random.default_rng(1)
     emb = _normed(rng, (300, 64))
     cent = _normed(rng, (37, 64))
     codes = np.asarray(codec.assign_codes(jnp.asarray(emb), jnp.asarray(cent)))
-    expected = np.argmax(emb @ cent.T, axis=-1)
-    np.testing.assert_array_equal(codes, expected)
+    scores = emb @ cent.T
+    chosen = scores[np.arange(len(emb)), codes]
+    np.testing.assert_allclose(chosen, scores.max(axis=-1), atol=4e-3)
+    # The overwhelming majority must still match the exact argmax.
+    expected = np.argmax(scores, axis=-1)
+    assert np.mean(codes == expected) > 0.98
 
 
 @pytest.mark.parametrize("nbits", [2, 4])
@@ -55,11 +63,12 @@ def test_compress_decompress_reduces_error(nbits):
     codes, packed = codec.compress(
         jnp.asarray(emb), jnp.asarray(cent), jnp.asarray(params.bucket_cutoffs), nbits
     )
-    # argmax ties may break differently between XLA and numpy; require the
-    # chosen centroid's score to match the best score to float tolerance.
+    # assign_codes scores in bf16 (MXU build path): require the chosen
+    # centroid's score to match the best within bf16 resolution — a flip
+    # needs two near-tied centroids, either an equally good quantizer.
     scores = emb @ cent.T
     chosen = scores[np.arange(len(emb)), np.asarray(codes)]
-    np.testing.assert_allclose(chosen, scores.max(axis=-1), atol=1e-5)
+    np.testing.assert_allclose(chosen, scores.max(axis=-1), atol=4e-3)
     recon = np.asarray(
         codec.decompress(
             codes, packed, jnp.asarray(cent), jnp.asarray(params.bucket_weights), nbits

@@ -112,9 +112,16 @@ class TestStreamingBuild:
                 )
                 truth[d] = (emb @ queries[qi].T).max(axis=0).sum()
             order = np.argsort(-truth)[:10]
-            assert list(pids[qi]) == list(order)
+            # Exact-order equality up to float-accumulation ties: the
+            # engine scores in f32 on device, truth in numpy — two docs
+            # within ~1e-3 can legitimately swap. Require the engine's
+            # picks to carry the same truth-score profile as the true
+            # top-10 (any swap beyond tie tolerance shifts a score here).
             np.testing.assert_allclose(
-                scores[qi], truth[order], rtol=2e-3, atol=2e-3
+                truth[pids[qi]], truth[order], rtol=2e-3, atol=2e-3
+            )
+            np.testing.assert_allclose(
+                scores[qi], truth[pids[qi]], rtol=2e-3, atol=2e-3
             )
 
     def test_sharded_matches_single_device(self, corpus, trained):

@@ -139,6 +139,7 @@ def run_chip(args):
     from fast_plaid_tpu.index.streaming import build_memory_index_streaming
     from fast_plaid_tpu.search.engine import (
         candidate_capacity,
+        resolve_approx_mode,
         search_core,
         suggest_query_tile,
         suggest_slot_budget,
@@ -211,7 +212,27 @@ def run_chip(args):
         and os.environ.get("FASTPLAID_NO_ESTIMATE_KERNEL") != "1"
     )
 
+    def resolve(mode):
+        # "auto" (and "cells@N" = cells with rank_admit N forced) resolve
+        # through the shared policy, exactly as the API driver would.
+        rank_admit = None
+        if "@" in mode:
+            mode, _, r = mode.partition("@")
+            rank_admit = int(r)
+        return resolve_approx_mode(
+            mode,
+            ivf_lengths,
+            q_cap=q_len,
+            n_ivf_probe=args.probe,
+            n_full_scores=args.full,
+            n_partitions=ispec.n_partitions,
+            cand_cap=cand_cap,
+            rank_admit=rank_admit,
+            slot_budget=slot_budget,
+        )
+
     def run(batch, mode):
+        mode, rank_admit, budget = resolve(mode)
         return search_core(
             dev,
             batch,
@@ -225,9 +246,10 @@ def run_chip(args):
             mem_budget=256 << 20,
             approx_mode=mode,
             use_rerank_kernel=use_kernel,
-            slot_budget=slot_budget,
+            slot_budget=budget if mode != "cells_full" else slot_budget,
             use_estimate_kernel=est_kernel,
             pool_divisor=args.pool_div,
+            rank_admit=rank_admit,
         )
 
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]
@@ -246,7 +268,7 @@ def run_chip(args):
 
         # Planted-duplicate spot check.
         rng = np.random.default_rng(2)
-        probe_pids = rng.integers(0, args.docs, 8)
+        probe_pids = rng.integers(0, args.docs, min(tile_b, 32))
         queries = planted_queries(
             chunk_gen, starts, lens, probe_pids, q_len, args.dim
         )
@@ -254,6 +276,7 @@ def run_chip(args):
         qpad[: len(queries)] = queries
         pids = np.asarray(run(jnp.asarray(qpad), mode)[0])[: len(probe_pids)]
         hit1 = float(np.mean(pids[:, 0] == probe_pids))
+        r_mode, r_rank, r_budget = resolve(mode)
         print(
             json.dumps(
                 {
@@ -262,6 +285,8 @@ def run_chip(args):
                     "n_tokens": int(lens.sum()),
                     "build_s": round(build_s, 1),
                     "approx": mode,
+                    "resolved": f"{r_mode}@{r_rank}",
+                    "slot_budget": r_budget,
                     "q4_cache": bool(args.q4_cache),
                     "emb_cache": bool(args.emb_cache),
                     "qps": round(qps, 1),

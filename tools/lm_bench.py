@@ -6,7 +6,12 @@ search_on_device() in both residency modes over identical query batches:
 * device-resident (+ decompressed-corpus cache + fused rerank kernel);
 * low_memory — residuals/codes stay in host RAM, candidates stream
   through the pipelined host-gather/device-rerank overlap
-  (search/searcher.py).
+  (search/searcher.py);
+* low_memory + q4 tier — the int4 corpus cache stays on device (~1/4 the
+  bf16 cache) and prefilters the rerank pool there, so only the
+  ``rescue_pool(top_k)`` rows per query cross host->device for the
+  codec-exact rescore instead of the full n_full_scores/2 pool
+  (VERDICT r3 #7: the tier's ~30x stream shrink, measured).
 
 The host token-major flats for low_memory are derived from the doc-major
 device build by one fetch (production gets them from the on-disk index).
@@ -35,7 +40,8 @@ def main():
     import jax
 
     from fast_plaid_tpu import testing
-    from fast_plaid_tpu.index.layout import build_emb_cache
+    from fast_plaid_tpu.index.layout import build_emb_cache, build_q4_cache
+    from fast_plaid_tpu.search.engine import rescue_pool
     from fast_plaid_tpu.search.load import LoadedIndex
     from fast_plaid_tpu.search.searcher import search_on_device
 
@@ -74,10 +80,7 @@ def main():
         device,
         ivf_lengths_host=ivf_lengths_host,
     )
-    lm = LoadedIndex(
-        dev._replace(residuals=None, emb_cache=None),
-        ispec,
-        device,
+    lm_kwargs = dict(
         ivf_lengths_host=ivf_lengths_host,
         low_memory=True,
         host_codes=host_codes,
@@ -85,10 +88,33 @@ def main():
         host_doc_offsets=host_doc_offsets,
         host_doc_lengths=np.minimum(lens_np, doc_cap).astype(np.int64),
     )
+    lm = LoadedIndex(
+        dev._replace(residuals=None, emb_cache=None), ispec, device, **lm_kwargs
+    )
+    # q4 tier: int4 corpus cache device-resident, residuals host-resident.
+    dev_q4 = build_q4_cache(dev, ispec)
+    jax.block_until_ready(dev_q4.emb_q4)
+    lm_q4 = LoadedIndex(
+        dev_q4._replace(residuals=None, emb_cache=None),
+        ispec,
+        device,
+        **lm_kwargs,
+    )
+
+    # Streamed host->device bytes per query for each low_memory mode:
+    # r_pool candidate docs x doc_cap rows x (packed residual + i32 code
+    # + valid byte) — searcher.py sizes its tile buffers with the same
+    # arithmetic.
+    pool_full = max(4096 // 2, 1)
+    stream_bytes = lambda r_pool: int(r_pool) * doc_cap * (pd + 5)
 
     rng = np.random.default_rng(7)
     out = {}
-    for name, loaded in (("resident", resident), ("low_memory", lm)):
+    for name, loaded in (
+        ("resident", resident),
+        ("low_memory", lm),
+        ("low_memory_q4", lm_q4),
+    ):
         qs = [
             q / np.linalg.norm(q, axis=-1, keepdims=True)
             for q in rng.standard_normal(
@@ -112,6 +138,12 @@ def main():
     out["ratio_resident_over_lm"] = round(
         out["resident"] / out["low_memory"], 2
     )
+    out["q4_tier_speedup"] = round(
+        out["low_memory_q4"] / out["low_memory"], 2
+    )
+    out["stream_bytes_per_query"] = stream_bytes(pool_full)
+    out["stream_bytes_per_query_q4"] = stream_bytes(rescue_pool(10))
+    out["stream_shrink_x"] = round(pool_full / rescue_pool(10), 1)
     out["n_docs"] = args.docs
     print(json.dumps(out))
 

@@ -29,6 +29,7 @@ def main() -> None:
 
     import jax
 
+    from fast_plaid_tpu.utils.sync import value_pull
     from fast_plaid_tpu import testing
     from fast_plaid_tpu.index.layout import build_emb_cache, emb_cache_bytes
     from fast_plaid_tpu.search.engine import (
@@ -56,7 +57,7 @@ def main() -> None:
     flat, doc_lengths = testing.random_flat_corpus_device(
         0, n_docs, doc_len, dim, variable=True
     )
-    float(flat.ravel()[0])  # true completion (block_until_ready can lie remotely)
+    value_pull(flat)  # true completion (block_until_ready can lie remotely)
     print(
         f"# corpus ready in {time.perf_counter() - t0:.1f}s: "
         f"{n_docs} docs, {flat.shape[0]} tokens",
@@ -80,7 +81,7 @@ def main() -> None:
     dev, ispec = testing.build_memory_index_flat(
         flat, doc_lengths, nbits=4, seed=0, verbose=True
     )
-    int(np.asarray(dev.codes.ravel()[0]))  # true completion
+    value_pull(dev.codes)  # true completion
     build_s = time.perf_counter() - t0
 
     # The recorded metric is the steady-state (warm compile cache) build —
@@ -102,7 +103,7 @@ def main() -> None:
         dev, ispec = testing.build_memory_index_flat(
             flat, doc_lengths, nbits=4, seed=0, verbose=True
         )
-        int(np.asarray(dev.codes.ravel()[0]))  # true completion
+        value_pull(dev.codes)  # true completion
         build_s = time.perf_counter() - t0
         print(
             f"# warm rebuild: {build_s:.1f}s (first build {cold_build_s:.1f}s)",
@@ -116,7 +117,7 @@ def main() -> None:
     emb_budget = int(os.environ.get("BENCH_EMB_CACHE", 6 << 30))
     if 0 < emb_cache_bytes(ispec) <= emb_budget:
         dev = build_emb_cache(dev, ispec)
-        float(np.asarray(dev.emb_cache.ravel()[0]))
+        value_pull(dev.emb_cache)
     print(f"# index built in {build_s:.1f}s: {ispec}", flush=True)
 
     # Candidate capacity + hub-aware slot budget from real IVF stats (as

@@ -214,9 +214,12 @@ def build_memory_index_device(
         # device services it can return before execution completes, piling
         # every phase's real work onto the first later host fetch (measured
         # 240 s misattributed to a 0.2 s IVF phase). A one-scalar fetch per
-        # output forces true completion at ~one RTT of overhead.
-        for w in jax.tree_util.tree_leaves(wait):
-            jax.device_get(w.ravel()[0] if w.ndim else w)
+        # output forces true completion at ~one RTT of overhead
+        # (utils.sync.value_pull — never ravel()[0], which copies the
+        # whole array on device).
+        from fast_plaid_tpu.utils.sync import value_pull
+
+        value_pull(*wait)
         if verbose:
             print(
                 f"#   build phase {name}: {time.perf_counter() - t0:.1f}s",

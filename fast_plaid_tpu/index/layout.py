@@ -493,15 +493,41 @@ def build_q4_cache(
     """
     if dev.residuals is None or dev.buckets or dev.emb_q4 is not None:
         return dev
-    packed, scale = _quantize_q4_2d(
-        dev.codes,
-        dev.residuals,
-        dev.centroids,
-        dev.bucket_weights,
-        nbits=ispec.nbits,
-        block=min(block, dev.codes.shape[0]),
-    )
-    return dev._replace(emb_q4=packed, q4_scale=scale)
+    n, cap = dev.codes.shape
+    blk = min(block, n)
+    seg_blocks = min(64, n // blk)
+    seg = blk * seg_blocks  # <= n by construction
+    d2 = dev.centroids.shape[-1]
+    res_flat = dev.residuals.reshape(n, -1)
+    # Preallocate the finished cache and DONATE it through a host-level
+    # segment loop: each jitted call decompresses+quantizes one ``seg``-doc
+    # slice and writes it with a single dynamic_update_slice into the
+    # donated cache, so every program's live set is residuals (input) +
+    # the one cache (aliased in place) + a ~0.4 GB segment temp. Both a
+    # stacked-scan whole-corpus program and a fori_loop carrying the cache
+    # double the cache live (program-result copy / while-carry ping-pong
+    # respectively) — measured OOM at 2M docs with residuals resident.
+    # Segment starts clamp to n - seg (reads AND writes together), so the
+    # tail segment re-processes a few docs instead of shifting them — the
+    # per-block read-only clamp this replaces silently misaligned the
+    # final partial block's docs at corpus sizes not divisible by `block`.
+    out = jnp.zeros((n * (cap // 2), d2), jnp.uint8)
+    scale_out = jnp.zeros((n,), jnp.float32)
+    for s in range(-(-n // seg)):
+        start = min(s * seg, n - seg)
+        out, scale_out = _write_q4_seg(
+            out,
+            scale_out,
+            dev.codes,
+            res_flat,
+            dev.centroids,
+            dev.bucket_weights,
+            jnp.int32(start),
+            nbits=ispec.nbits,
+            block=blk,
+            seg=seg,
+        )
+    return dev._replace(emb_q4=out, q4_scale=scale_out)
 
 
 @functools.partial(jax.jit, static_argnames=("nbits",))
@@ -528,37 +554,61 @@ def quantize_q4_rows(codes_rows, res_rows, centroids, bucket_weights, *, nbits):
     return packed.reshape(n * (cap // 2), -1), scale
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "block"))
-def _quantize_q4_2d(codes, residuals, centroids, bucket_weights, *, nbits, block):
-    """Blockwise decompress+quantize of the whole doc-major corpus."""
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "block", "seg"), donate_argnums=(0, 1)
+)
+def _write_q4_seg(
+    out,
+    scale_out,
+    codes,
+    res_flat,
+    centroids,
+    bucket_weights,
+    start,
+    *,
+    nbits,
+    block,
+    seg,
+):
+    """Decompress+quantize one ``seg``-doc slice into the donated cache.
+
+    ``out`` [n*(cap/2), D] u8 / ``scale_out`` [n] f32 are donated and
+    updated with one dynamic_update_slice each — XLA aliases the donated
+    input to the program result, so the cache exists exactly once.
+    ``start`` is a traced doc offset (one compilation serves every
+    segment); ``seg`` is a multiple of ``block`` and <= n, the caller
+    clamps start to n - seg.
+    """
     from fast_plaid_tpu.ops import codec as codec_ops
     from fast_plaid_tpu.ops.q4cache import quantize_emb_q4
 
     n, cap = codes.shape
-    res_flat = residuals.reshape(n, -1)
     pd = res_flat.shape[1] // cap
-    nb = -(-n // block)
+    cc = jax.lax.dynamic_slice(codes, (start, 0), (seg, cap))
+    rr = jax.lax.dynamic_slice(res_flat, (start, 0), (seg, cap * pd))
 
     def one(i):
-        cc = jax.lax.dynamic_slice(codes, (i * block, 0), (block, cap))
-        rr = jax.lax.dynamic_slice(
-            res_flat, (i * block, 0), (block, cap * pd)
+        c_blk = jax.lax.dynamic_slice(cc, (i * block, 0), (block, cap))
+        r_blk = jax.lax.dynamic_slice(
+            rr, (i * block, 0), (block, cap * pd)
         ).reshape(block, cap, pd)
-        emb = codec_ops.decompress(cc, rr, centroids, bucket_weights, nbits)
+        emb = codec_ops.decompress(
+            c_blk, r_blk, centroids, bucket_weights, nbits
+        )
         packed, scale = quantize_emb_q4(emb)
-        # [block * cap/2, D]: the kernel-native 2-D layout (see
-        # quantize_q4_rows) — reshaped per block so the stacked map
-        # output concatenates into it for free.
         return packed.reshape(block * (cap // 2), -1), scale
 
-    packed, scale = jax.lax.map(one, jnp.arange(nb, dtype=jnp.int32))
-    d2 = packed.shape[-1]
-    # No [:n] slice — it would copy the whole cache while both copies are
-    # live (measured OOM at 2M docs); padded tail rows are never gathered.
-    return (
-        packed.reshape(nb * block * (cap // 2), d2),
-        scale.reshape(nb * block),
+    packed_seg, scale_seg = jax.lax.map(
+        one, jnp.arange(seg // block, dtype=jnp.int32)
     )
+    d2 = packed_seg.shape[-1]
+    out = jax.lax.dynamic_update_slice(
+        out, packed_seg.reshape(seg * (cap // 2), d2), (start * (cap // 2), 0)
+    )
+    scale_out = jax.lax.dynamic_update_slice(
+        scale_out, scale_seg.reshape(seg), (start,)
+    )
+    return out, scale_out
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "block"))

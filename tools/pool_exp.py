@@ -7,6 +7,7 @@ QPS/quality trade. Run manually on real hardware; not part of the test suite.
 import time
 import numpy as np
 import jax, jax.numpy as jnp
+from fast_plaid_tpu.utils.sync import value_pull
 from fast_plaid_tpu import testing
 from fast_plaid_tpu.index.layout import build_emb_cache
 from fast_plaid_tpu.search.engine import (
@@ -15,14 +16,14 @@ from fast_plaid_tpu.search.engine import (
 
 n_docs, doc_len, dim, q_len = 57_638, 160, 128, 32
 flat, doc_lengths = testing.random_flat_corpus_device(0, n_docs, doc_len, dim, variable=True)
-float(flat.ravel()[0])
+value_pull(flat)
 t0 = time.perf_counter()
 dev, ispec = testing.build_memory_index_flat(flat, doc_lengths, nbits=4, seed=0, verbose=True)
 del flat
-int(np.asarray(dev.codes.ravel()[0]))
+value_pull(dev.codes)
 print(f"build {time.perf_counter()-t0:.1f}s", flush=True)
 dev = build_emb_cache(dev, ispec)
-float(np.asarray(dev.emb_cache.ravel()[0]))
+value_pull(dev.emb_cache)
 
 ivf_lengths = np.asarray(dev.ivf_lengths)
 cand_cap = candidate_capacity(ivf_lengths, min(q_len * 8, ispec.n_partitions), 4096)

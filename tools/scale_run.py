@@ -137,6 +137,7 @@ def run_chip(args):
     import jax
 
     from fast_plaid_tpu.index.streaming import build_memory_index_streaming
+    from fast_plaid_tpu.utils.sync import value_pull
     from fast_plaid_tpu.search.engine import (
         candidate_capacity,
         resolve_approx_mode,
@@ -156,7 +157,7 @@ def run_chip(args):
         sample_docs=args.sample_docs,
         verbose=True,
     )
-    int(np.asarray(dev.codes.ravel()[0]))  # true completion (remote svc)
+    value_pull(dev.codes)  # true completion (remote svc)
     if args.q4_cache:
         import gc
 
@@ -164,7 +165,7 @@ def run_chip(args):
         from fast_plaid_tpu.index.layout import build_q4_cache
 
         dev = build_q4_cache(dev, ispec)
-        int(np.asarray(dev.emb_q4.ravel()[0]))  # true completion
+        value_pull(dev.emb_q4)  # true completion
     if args.emb_cache:
         import gc
 
@@ -180,7 +181,7 @@ def run_chip(args):
             dev = cache_dev._replace(residuals=None)
         else:
             dev = build_emb_cache(dev, ispec)
-        float(np.asarray(dev.emb_cache.ravel()[0]))  # true completion
+        value_pull(dev.emb_cache)  # true completion
     build_s = time.perf_counter() - t0
     print(f"# build: {build_s:.1f}s  {ispec} emb_cache={args.emb_cache}")
 

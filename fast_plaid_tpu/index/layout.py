@@ -493,24 +493,46 @@ def build_q4_cache(
     """
     if dev.residuals is None or dev.buckets or dev.emb_q4 is not None:
         return dev
-    n, cap = dev.codes.shape
+    out, scale_out = quantize_q4_all(
+        dev.codes,
+        dev.residuals.reshape(dev.codes.shape[0], -1),
+        dev.centroids,
+        dev.bucket_weights,
+        nbits=ispec.nbits,
+        block=block,
+    )
+    return dev._replace(emb_q4=out, q4_scale=scale_out)
+
+
+def quantize_q4_all(
+    codes, res_flat, centroids, bucket_weights, *, nbits, block: int = 2048
+):
+    """Quantize the whole doc-major corpus into the q4 cache (in place).
+
+    Preallocates the finished cache and DONATES it through a host-level
+    segment loop: each jitted call decompresses+quantizes one ``seg``-doc
+    slice and writes it with a single dynamic_update_slice into the
+    donated cache, so every program's live set is residuals (input) +
+    the one cache (aliased in place) + a ~0.4 GB segment temp. Both a
+    stacked-scan whole-corpus program and a fori_loop carrying the cache
+    double the cache live (program-result copy / while-carry ping-pong
+    respectively) — measured OOM at 2M docs with residuals resident.
+    Segment starts clamp to n - seg (reads AND writes together), so the
+    tail segment re-processes a few docs instead of shifting them — the
+    per-block read-only clamp this replaces silently misaligned the
+    final partial block's docs at corpus sizes not divisible by `block`.
+
+    The streaming builder calls this BEFORE its IVF phase: the cache is
+    then the 4th large allocation in a monotone sequence (codes, res,
+    cache), ahead of the IVF sort's churn — allocated after it, the
+    ~6 GB contiguous request can fail on arena fragmentation even with
+    the capacity free (measured at 2M docs).
+    """
+    n, cap = codes.shape
     blk = min(block, n)
     seg_blocks = min(64, n // blk)
     seg = blk * seg_blocks  # <= n by construction
-    d2 = dev.centroids.shape[-1]
-    res_flat = dev.residuals.reshape(n, -1)
-    # Preallocate the finished cache and DONATE it through a host-level
-    # segment loop: each jitted call decompresses+quantizes one ``seg``-doc
-    # slice and writes it with a single dynamic_update_slice into the
-    # donated cache, so every program's live set is residuals (input) +
-    # the one cache (aliased in place) + a ~0.4 GB segment temp. Both a
-    # stacked-scan whole-corpus program and a fori_loop carrying the cache
-    # double the cache live (program-result copy / while-carry ping-pong
-    # respectively) — measured OOM at 2M docs with residuals resident.
-    # Segment starts clamp to n - seg (reads AND writes together), so the
-    # tail segment re-processes a few docs instead of shifting them — the
-    # per-block read-only clamp this replaces silently misaligned the
-    # final partial block's docs at corpus sizes not divisible by `block`.
+    d2 = centroids.shape[-1]
     out = jnp.zeros((n * (cap // 2), d2), jnp.uint8)
     scale_out = jnp.zeros((n,), jnp.float32)
     for s in range(-(-n // seg)):
@@ -518,16 +540,16 @@ def build_q4_cache(
         out, scale_out = _write_q4_seg(
             out,
             scale_out,
-            dev.codes,
+            codes,
             res_flat,
-            dev.centroids,
-            dev.bucket_weights,
+            centroids,
+            bucket_weights,
             jnp.int32(start),
-            nbits=ispec.nbits,
+            nbits=nbits,
             block=blk,
             seg=seg,
         )
-    return dev._replace(emb_q4=out, q4_scale=scale_out)
+    return out, scale_out
 
 
 @functools.partial(jax.jit, static_argnames=("nbits",))

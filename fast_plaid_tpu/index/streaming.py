@@ -229,9 +229,17 @@ def build_memory_index_streaming(
     sample_docs: int | None = None,
     seed: int = 42,
     emb_cache: bool = False,
+    q4_cache: bool = False,
     verbose: bool = False,
 ) -> tuple[DeviceIndex, IndexSpec]:
-    """Single-device streaming build; peak HBM = final index + one chunk."""
+    """Single-device streaming build; peak HBM = final index + one chunk.
+
+    ``q4_cache`` builds the 4-bit prefilter cache as part of the build,
+    BEFORE the IVF phase: the ~corpus-sized cache then lands in a monotone
+    allocation sequence (codes, residuals, cache) ahead of the IVF sort's
+    arena churn — requested after it, the contiguous allocation can fail
+    on fragmentation with the capacity free (measured at 2M docs).
+    """
     import time
 
     def mark(name, t0):
@@ -276,6 +284,22 @@ def build_memory_index_streaming(
     )
     t0 = mark("stream compress", t0)
 
+    emb_q4 = q4_scale = None
+    if q4_cache:
+        from fast_plaid_tpu.index.layout import quantize_q4_all
+        from fast_plaid_tpu.utils.sync import value_pull
+
+        # Unpadded centroids suffice: codes < k index real rows only.
+        emb_q4, q4_scale = quantize_q4_all(
+            codes2d,
+            res2d,
+            centroids,
+            codec_params.bucket_weights,
+            nbits=nbits,
+        )
+        value_pull(emb_q4)
+        t0 = mark("q4 cache", t0)
+
     ivf_pids, ivf_off, ivf_len, _, cell_cap = _finalize_ivf(
         codes2d,
         lengths,
@@ -297,6 +321,8 @@ def build_memory_index_streaming(
         ivf=ivf_pids,
         ivf_offsets=jnp.asarray(ivf_off),
         ivf_lengths=jnp.asarray(ivf_len),
+        emb_q4=emb_q4,
+        q4_scale=q4_scale,
     )
     ispec = IndexSpec(
         dim=dim,

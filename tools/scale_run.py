@@ -155,17 +155,13 @@ def run_chip(args):
         k=args.k,
         chunk_docs=args.chunk_docs,
         sample_docs=args.sample_docs,
+        # In-build q4 cache: allocated before the IVF phase's arena churn
+        # (a post-build 6 GB contiguous request fails on fragmentation at
+        # 2M docs with the capacity free).
+        q4_cache=args.q4_cache,
         verbose=True,
     )
     value_pull(dev.codes)  # true completion (remote svc)
-    if args.q4_cache:
-        import gc
-
-        gc.collect()
-        from fast_plaid_tpu.index.layout import build_q4_cache
-
-        dev = build_q4_cache(dev, ispec)
-        value_pull(dev.emb_q4)  # true completion
     if args.emb_cache:
         import gc
 

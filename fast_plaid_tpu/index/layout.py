@@ -505,7 +505,15 @@ def build_q4_cache(
 
 
 def quantize_q4_all(
-    codes, res_flat, centroids, bucket_weights, *, nbits, block: int = 2048
+    codes,
+    res_flat,
+    centroids,
+    bucket_weights,
+    *,
+    nbits,
+    block: int = 2048,
+    out=None,
+    scale_out=None,
 ):
     """Quantize the whole doc-major corpus into the q4 cache (in place).
 
@@ -533,8 +541,15 @@ def quantize_q4_all(
     seg_blocks = min(64, n // blk)
     seg = blk * seg_blocks  # <= n by construction
     d2 = centroids.shape[-1]
-    out = jnp.zeros((n * (cap // 2), d2), jnp.uint8)
-    scale_out = jnp.zeros((n,), jnp.float32)
+    if out is None:
+        # Callers at the HBM limit preallocate ``out``/``scale_out`` EARLY
+        # (see q4_cache_buffers): donated chunk writes move multi-GB
+        # buffers around this service's arena, and a late ~6 GB contiguous
+        # request can fail on fragmentation with the capacity free in
+        # smaller pieces (measured: 9 x 1 GB allocatable, 6.15 GB denied).
+        out = jnp.zeros((n * (cap // 2), d2), jnp.uint8)
+        scale_out = jnp.zeros((n,), jnp.float32)
+    assert out.shape == (n * (cap // 2), d2) and scale_out is not None
     for s in range(-(-n // seg)):
         start = min(s * seg, n - seg)
         out, scale_out = _write_q4_seg(

@@ -271,6 +271,15 @@ def build_memory_index_streaming(
 
     doc_cap = round_up(max(int(doc_lengths.max()) if n_docs else 1, 1), 16)
     np_docs = round_up(n_docs + 1, 8)
+    q4_out = q4_scale_out = None
+    if q4_cache:
+        # Allocate the corpus-sized cache NOW, before compress: the chunk
+        # loop's donated writes move the multi-GB codes/residual buffers
+        # around the arena, after which a contiguous cache-sized request
+        # can fail on fragmentation with the capacity free (measured at
+        # 2M docs: 9 x 1 GB allocatable, one 6.15 GB denied).
+        q4_out = jnp.zeros((np_docs * (doc_cap // 2), dim), jnp.uint8)
+        q4_scale_out = jnp.zeros((np_docs,), jnp.float32)
     codes2d, res2d, lengths = _stream_compress_into(
         chunk_gen,
         doc_lengths,
@@ -296,6 +305,8 @@ def build_memory_index_streaming(
             centroids,
             codec_params.bucket_weights,
             nbits=nbits,
+            out=q4_out,
+            scale_out=q4_scale_out,
         )
         value_pull(emb_q4)
         t0 = mark("q4 cache", t0)

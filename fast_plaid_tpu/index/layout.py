@@ -655,28 +655,38 @@ def _decompress_2d(codes, residuals, centroids, bucket_weights, *, nbits, block)
     Blocks are read with clamped dynamic slices instead of padding the
     inputs to a block multiple — jnp.pad would COPY the full residual
     array (+GBs at exactly the moment the output cache is also live;
-    measured OOM at 523k docs). The final block's clamp re-reads tail
-    rows whose decompressed values are sliced away.
+    measured OOM at 523k docs). The clamp MUST apply to the read and the
+    write together: a final block whose start clamps to ``n - block``
+    holds rows [n - block, n), so its output must land at that same
+    offset (writing it at ``i * block`` hands every cache row past the
+    last full block the decompressed values of the WRONG documents —
+    the planted-recall bug this replaces: hit@1 0.641 at 3k docs, every
+    miss a doc past row 2048). Rows the clamp re-covers are rewritten
+    with identical values; rows in [n, nb * block) stay zero and are
+    unreachable (caches are only ever row-gathered by pid < n).
     """
     from fast_plaid_tpu.ops import codec as codec_ops
 
     n, cap = codes.shape
     res_flat = residuals.reshape(n, -1)  # lane-flattened or [N, cap, PD]
     pd = res_flat.shape[1] // cap
+    dim = centroids.shape[-1]
     nb = -(-n // block)
 
-    def one(i):
-        cc = jax.lax.dynamic_slice(codes, (i * block, 0), (block, cap))
+    def one(i, out):
+        s = jnp.maximum(jnp.minimum(i * block, n - block), 0)
+        cc = jax.lax.dynamic_slice(codes, (s, 0), (block, cap))
         rr = jax.lax.dynamic_slice(
-            res_flat, (i * block, 0), (block, cap * pd)
+            res_flat, (s, 0), (block, cap * pd)
         ).reshape(block, cap, pd)
-        return codec_ops.decompress(
+        emb = codec_ops.decompress(
             cc, rr, centroids, bucket_weights, nbits, out_dtype=jnp.bfloat16
         )
+        return jax.lax.dynamic_update_slice(out, emb, (s, 0, 0))
 
-    out = jax.lax.map(one, jnp.arange(nb, dtype=jnp.int32))
-    # Keep the block-padded row count: slicing [:n] would materialize a
-    # SECOND full-size copy at exactly the moment both are live (measured
-    # OOM at 2M docs). Caches are only ever row-gathered by pid < n, so
-    # the <block of padded tail rows are unreachable and cost only bytes.
-    return out.reshape(nb * block, cap, -1)
+    # fori_loop + donated-style dynamic_update_slice keeps the cache a
+    # single buffer (slicing a block-stacked result to [:n] would
+    # materialize a SECOND full-size copy at exactly the moment both are
+    # live — measured OOM at 2M docs).
+    out0 = jnp.zeros((nb * block, cap, dim), jnp.bfloat16)
+    return jax.lax.fori_loop(0, nb, one, out0)

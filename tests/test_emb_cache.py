@@ -86,3 +86,56 @@ def test_api_cache_budget(test_index_path):
         assert {p for p, _ in a} == {p for p, _ in b}
         for (pa, sa), (pb, sb) in zip(a, b):
             assert abs(sa - sb) < 2e-2
+
+
+def test_decompress_2d_partial_final_block():
+    """_decompress_2d with n % block != 0: the clamped final block must
+    land at its clamped offset, not shift the tail docs' rows.
+
+    Regression: the read-only clamp wrote the final block's decompressed
+    rows (input rows [n - block, n)) at offset (nb - 1) * block, handing
+    every doc past the last full block the embeddings of the WRONG
+    documents — planted hit@1 0.641 at 3k docs (block 2048), every miss
+    a pid >= 2048.
+    """
+    import jax.numpy as jnp
+
+    from fast_plaid_tpu.index.layout import _decompress_2d
+    from fast_plaid_tpu.ops import codec
+
+    rng = np.random.default_rng(13)
+    n, cap, dim, nbits = 40, 16, DIM, 4
+    kp = 64
+    pd = dim * nbits // 8
+    codes = jnp.asarray(rng.integers(0, kp, (n, cap)), jnp.int32)
+    res = jnp.asarray(rng.integers(0, 256, (n, cap, pd)), jnp.uint8)
+    cents = jnp.asarray(rng.normal(size=(kp, dim)), jnp.float32)
+    weights = jnp.asarray(np.sort(rng.normal(size=(1 << nbits,))), jnp.float32)
+
+    want = np.asarray(
+        codec.decompress(codes, res, cents, weights, nbits, out_dtype=jnp.bfloat16),
+        np.float32,
+    )
+    for block in (8, 16, 24, 40):  # 40 % 16 != 0 and 40 % 24 != 0: clamped tails
+        got = np.asarray(
+            _decompress_2d(
+                codes, res, cents, weights, nbits=nbits, block=block
+            ),
+            np.float32,
+        )[:n]
+        np.testing.assert_array_equal(got, want, err_msg=f"block={block}")
+
+
+def test_build_emb_cache_partial_final_block():
+    """build_emb_cache with a block that does not divide the row count:
+    every doc's cache row must decompress ITS OWN tokens."""
+    rng = np.random.default_rng(14)
+    docs = testing.random_documents(rng, 30, 12, DIM, variable=True)
+    dev, ispec = testing.build_memory_index(docs, nbits=4, seed=0)
+    full = build_emb_cache(dev, ispec)  # single block (n rounds to 32 <= 2048)
+    blocked = build_emb_cache(dev, ispec, block=8)  # 32 % 8 == 0 but multi-block
+    ragged = build_emb_cache(dev, ispec, block=12)  # 32 % 12 != 0: clamped tail
+    n = ispec.n_docs
+    a = np.asarray(full.emb_cache[:n], np.float32)
+    np.testing.assert_array_equal(np.asarray(blocked.emb_cache[:n], np.float32), a)
+    np.testing.assert_array_equal(np.asarray(ragged.emb_cache[:n], np.float32), a)

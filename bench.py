@@ -100,8 +100,12 @@ def main() -> None:
     if not os.environ.get("BENCH_BUILD_ONCE"):
         del dev
         t0 = time.perf_counter()
+        # verbose=False: the headline build runs the production
+        # configuration — no per-phase sync barriers, dispatches pipeline
+        # through the device service (the first build above keeps the
+        # phase breakdown).
         dev, ispec = testing.build_memory_index_flat(
-            flat, doc_lengths, nbits=4, seed=0, verbose=True
+            flat, doc_lengths, nbits=4, seed=0, verbose=False
         )
         value_pull(dev.codes)  # true completion
         build_s = time.perf_counter() - t0
@@ -120,15 +124,31 @@ def main() -> None:
         value_pull(dev.emb_cache)
     print(f"# index built in {build_s:.1f}s: {ispec}", flush=True)
 
-    # Candidate capacity + hub-aware slot budget from real IVF stats (as
-    # the API layer does).
-    from fast_plaid_tpu.search.engine import suggest_slot_budget
+    # Candidate capacity + the shared estimator-selection policy from real
+    # IVF stats — the engine pass resolves approx_mode="auto" through the
+    # SAME resolve_approx_mode the public API uses, so the QPS headline
+    # always measures the out-of-the-box configuration (and its planted
+    # recall is the recall a default user gets).
+    from fast_plaid_tpu.search.engine import resolve_approx_mode
 
     ivf_lengths = np.asarray(dev.ivf_lengths)
     cand_cap = candidate_capacity(
         ivf_lengths, min(q_len * 8, ispec.n_partitions), 4096
     )
-    slot_budget = suggest_slot_budget(ivf_lengths, 4096)
+    approx_mode, rank_admit, slot_budget = resolve_approx_mode(
+        "auto",
+        ivf_lengths,
+        q_cap=q_len,
+        n_ivf_probe=8,
+        n_full_scores=4096,
+        n_partitions=ispec.n_partitions,
+        cand_cap=cand_cap,
+    )
+    print(
+        f"# auto resolved: approx_mode={approx_mode} rank_admit={rank_admit} "
+        f"slot_budget={slot_budget}",
+        flush=True,
+    )
 
     mem_budget = int(os.environ.get("BENCH_MEM_BUDGET", 1 << 30))
     use_kernel = (
@@ -156,6 +176,8 @@ def main() -> None:
             use_rerank_kernel=use_kernel,
             slot_budget=slot_budget,
             use_estimate_kernel=est_kernel,
+            approx_mode=approx_mode,
+            rank_admit=rank_admit,
         )
 
     # Big device-resident tiles (sized to HBM) with DIFFERENT queries per
@@ -214,6 +236,8 @@ def main() -> None:
             mem_budget=mem_budget,
             use_rerank_kernel=False,
             slot_budget=slot_budget,
+            approx_mode=approx_mode,
+            rank_admit=rank_admit,
         )
         sk = np.sort(np.asarray(outs[0][1]), axis=-1)
         sx = np.sort(np.asarray(alt[1]), axis=-1)
@@ -292,6 +316,8 @@ def main() -> None:
                     "planted_hit1_api": api_hit1,
                     "planted_hit10_api": api_hit10,
                     "n_probes": n_probes,
+                    "approx_mode_resolved": approx_mode,
+                    "rank_admit_resolved": rank_admit,
                     "kernel_parity_max_diff": kernel_parity,
                     "index_build_s": round(build_s, 2),
                     "index_build_cold_cache_s": (

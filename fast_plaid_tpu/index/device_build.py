@@ -209,18 +209,22 @@ def build_memory_index_device(
     )
 
     def mark(name, t0, *wait):
-        # Block on the phase's outputs so per-phase walltimes are honest.
-        # jax.block_until_ready is not sufficient: through remote-attached
-        # device services it can return before execution completes, piling
-        # every phase's real work onto the first later host fetch (measured
-        # 240 s misattributed to a 0.2 s IVF phase). A one-scalar fetch per
-        # output forces true completion at ~one RTT of overhead
-        # (utils.sync.value_pull — never ravel()[0], which copies the
-        # whole array on device).
-        from fast_plaid_tpu.utils.sync import value_pull
-
-        value_pull(*wait)
+        # Per-phase syncs run ONLY under ``verbose``: honest phase
+        # walltimes need a barrier after every phase (jax.block_until_ready
+        # is not sufficient — through remote-attached device services it
+        # can return before execution completes, piling every phase's real
+        # work onto the first later host fetch; measured 240 s
+        # misattributed to a 0.2 s IVF phase — so each phase pulls one
+        # VALUE from its outputs, utils.sync.value_pull). A production
+        # build wants the opposite: no intermediate barriers, so the
+        # phases' dispatches pipeline through the service and the only
+        # syncs are the ones the build inherently needs (the [K] IVF
+        # histogram fetch, and whatever the caller pulls at the end) —
+        # measured 5-8 s of pure per-phase RTT saved at the bench scale.
         if verbose:
+            from fast_plaid_tpu.utils.sync import value_pull
+
+            value_pull(*wait)
             print(
                 f"#   build phase {name}: {time.perf_counter() - t0:.1f}s",
                 flush=True,

@@ -1413,14 +1413,27 @@ def resolve_approx_mode(
     this with their own IVF statistics so a corpus resolves identically
     however it is distributed.
 
-    Policy: below the measured 16x candidates-per-budget crossover the
-    plain budgeted "cells" estimator is recall-equivalent to the
-    untruncated one (SCALE.md); past it, stay on the budgeted layout but
-    enable rank-based admission (rank_admit=2 when the safe budget is
-    affordable, else 1) with the budget raised to hold the tier whole;
-    fall over to "cells_full" only when even the rank-1 tier approaches
-    the full candidate width (very coarse partitioning). Explicit modes
-    pass through, only normalizing rank_admit/slot_budget.
+    Policy: below a 6x candidates-per-budget ratio the plain budgeted
+    "cells" estimator is recall-equivalent to the untruncated one
+    (measured planted hit@1 = 1.0 on adversarial uniform-random corpora
+    at 5.5x; the first observed miss sits at 7.3x, and the boundary is
+    noisy — 8.0x/9.1x configs pass — so 6x is the conservative floor of
+    the miss region; SCALE.md round-4 crossover sweep). Past it, stay
+    on the budgeted layout and
+    enable rank-1 admission with the budget raised to hold the tier
+    whole: every query token's top probed cell is admitted whole, which
+    is exactly what an exact-match or near-duplicate document needs for
+    its full per-query-max estimate. Rank-1 measured recall-perfect
+    through ~15x saturation (57k at 14.7x and 523k at 15x: planted
+    hit@1 = 1.0) and 1.2-1.4x faster than rank-2 (523k: 2,047 vs 1,671
+    QPS), so that regime stays at rank 1. Past 32x saturation the ideal
+    top-k's near-ties increasingly sit in query tokens' SECOND-rank
+    cells (clustered-corpus score mass at ~50-100x: 0.966 rank-1 vs
+    0.97+ rank-2 — the midscale gate regime), so auto escalates to
+    rank 2 there when its budget is affordable. Fall over to
+    "cells_full" only when even the tier's budget approaches the full
+    candidate width (very coarse partitioning). Explicit modes pass
+    through, only normalizing rank_admit/slot_budget.
     """
     import numpy as np
 
@@ -1430,15 +1443,24 @@ def resolve_approx_mode(
             lens_h = np.asarray(ivf_lengths_host, np.float64)
             n_cells = min(q_cap * n_ivf_probe, max(n_partitions, 1))
             expected = float(lens_h.mean()) * n_cells
-            if expected > 16.0 * n_full_scores:
-                affordable = max(32768, 8 * n_full_scores)
-                for r_adm in (2, 1):
-                    safe = suggest_safe_budget(
-                        ivf_lengths_host, n_full_scores, q_cap, r_adm
-                    )
-                    if safe <= affordable:
-                        break
+            if expected > 6.0 * n_full_scores:
+                r_adm = 1
+                if expected > 32.0 * n_full_scores:
+                    affordable = max(32768, 8 * n_full_scores)
+                    if (
+                        suggest_safe_budget(
+                            ivf_lengths_host, n_full_scores, q_cap, 2
+                        )
+                        <= affordable
+                    ):
+                        r_adm = 2
+                safe = suggest_safe_budget(
+                    ivf_lengths_host, n_full_scores, q_cap, r_adm
+                )
                 if cand_cap is not None and safe >= cand_cap:
+                    # The tier's budget covers the whole candidate width:
+                    # the untruncated estimator is the same work without
+                    # the admission machinery.
                     approx_mode = "cells_full"
                 elif rank_admit is None:
                     rank_admit = r_adm

@@ -32,13 +32,13 @@ def _resolve(lens, n_full=128, q_cap=8, probe=8, k=None, cand_cap=None, **kw):
 
 
 def test_below_crossover_stays_plain_cells():
-    # expected candidates = mean_len * n_cells = 4 * 64 = 256 <= 16*128.
+    # expected candidates = mean_len * n_cells = 4 * 64 = 256 <= 6*128.
     mode, rank, budget = _resolve(np.full(64, 4), n_full=128)
     assert (mode, rank) == ("cells", 0)
 
 
 def test_past_crossover_engages_rank_admission():
-    # 1000 cells x mean 600 -> expected 64*600 = 38,400 >> 16*128.
+    # 1000 cells x mean 600 -> expected 64*600 = 38,400 >> 6*128.
     lens = np.full(1000, 600)
     mode, rank, budget = _resolve(lens, n_full=128)
     assert mode == "cells" and rank >= 1
@@ -47,9 +47,29 @@ def test_past_crossover_engages_rank_admission():
     assert budget >= suggest_slot_budget(lens, 128)
 
 
-def test_prefers_rank2_when_affordable():
-    # Small cells: the rank-2 tier is cheap -> pick 2.
-    lens = np.full(4096, 600)
+def test_crossover_sits_at_six_x():
+    # Calibrated on the round-4 sweep: planted hit@1 clean through 5.5x,
+    # first miss observed at 7.3x (SCALE.md) — the boundary is 6x.
+    below = _resolve(np.full(64, 11), n_full=128)  # 64*11 = 704 < 768
+    above = _resolve(np.full(64, 13), n_full=128)  # 64*13 = 832 > 768
+    assert (below[0], below[1]) == ("cells", 0)
+    assert (above[0], above[1]) == ("cells", 1)
+
+
+def test_auto_rank1_at_moderate_saturation():
+    # 6x < ratio <= 32x: rank-1 admission measured recall-perfect (57k at
+    # 14.7x, 523k at 15x: planted hit@1 1.0) and 1.2-1.4x faster than
+    # rank-2 (523k: 2,047 vs 1,671 QPS) — no escalation in this regime.
+    lens = np.full(4096, 40)  # expected 64*40 = 2,560 = 20x * 128
+    mode, rank, _ = _resolve(lens, n_full=128)
+    assert (mode, rank) == ("cells", 1)
+
+
+def test_auto_rank2_at_deep_saturation():
+    # ratio > 32x: near-tie winners increasingly sit in second-rank cells
+    # (clustered score mass 0.966 rank-1 vs 0.97+ rank-2 at ~50-100x) —
+    # escalate when the rank-2 budget is affordable.
+    lens = np.full(4096, 600)  # expected 64*600 = 38,400 = 300x * 128
     mode, rank, _ = _resolve(lens, n_full=128)
     assert (mode, rank) == ("cells", 2)
 

@@ -107,7 +107,13 @@ def main() -> None:
         dev, ispec = testing.build_memory_index_flat(
             flat, doc_lengths, nbits=4, seed=0, verbose=False
         )
-        value_pull(dev.codes)  # true completion
+        # True completion of EVERY terminal build output — the pipelined
+        # build's only inherent host sync is the [K] IVF histogram fetch,
+        # so the aligned-IVF gather (and anything else dispatched after
+        # it) could otherwise finish outside the timed region.
+        value_pull(
+            dev.codes, dev.residuals, dev.ivf, dev.ivf_lengths, dev.centroids
+        )
         build_s = time.perf_counter() - t0
         print(
             f"# warm rebuild: {build_s:.1f}s (first build {cold_build_s:.1f}s)",

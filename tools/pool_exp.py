@@ -1,8 +1,17 @@
-"""Measure engine QPS + top-10 agreement at pool_divisor 2/4/8 vs 1 on-chip.
+"""Measure engine QPS + top-10 agreement across pool_divisor values on-chip.
 
 Experiment tool behind the ``pool_divisor`` default (see SCALE.md): the exact
 rerank pool is ``n_full_scores / pool_divisor`` and this script quantifies the
-QPS/quality trade. Run manually on real hardware; not part of the test suite.
+QPS/quality trade. The run configuration is the PRODUCTION one — approx_mode
+resolved through engine.resolve_approx_mode (the same policy the public API
+and bench use), so at the bench shape the measurement covers the rank-admitted
+tier a default user actually gets. Quality is measured three ways per divisor:
+
+* top-10 pid overlap + score mass vs divisor=1 (pool = full n_full_scores);
+* planted verbatim-probe hit@1 (candidate-generation health);
+* minimum per-query score mass (worst case, not the mean).
+
+Run manually on real hardware; not part of the test suite.
 """
 import time
 import numpy as np
@@ -11,14 +20,23 @@ from fast_plaid_tpu.utils.sync import value_pull
 from fast_plaid_tpu import testing
 from fast_plaid_tpu.index.layout import build_emb_cache
 from fast_plaid_tpu.search.engine import (
-    candidate_capacity, search_core, suggest_query_tile, suggest_slot_budget,
+    candidate_capacity, resolve_approx_mode, search_core, suggest_query_tile,
 )
 
 n_docs, doc_len, dim, q_len = 57_638, 160, 128, 32
 flat, doc_lengths = testing.random_flat_corpus_device(0, n_docs, doc_len, dim, variable=True)
 value_pull(flat)
+
+# Planted probes: verbatim copies of document token prefixes (bench.py).
+n_probes = 64
+probe_rng = np.random.default_rng(7)
+probe_pids = probe_rng.integers(0, n_docs, n_probes)
+starts = np.concatenate([[0], np.cumsum(doc_lengths)])
+probe_idx = starts[probe_pids][:, None] + np.arange(q_len)
+probe_queries = np.asarray(flat[jnp.asarray(probe_idx)])
+
 t0 = time.perf_counter()
-dev, ispec = testing.build_memory_index_flat(flat, doc_lengths, nbits=4, seed=0, verbose=True)
+dev, ispec = testing.build_memory_index_flat(flat, doc_lengths, nbits=4, seed=0)
 del flat
 value_pull(dev.codes)
 print(f"build {time.perf_counter()-t0:.1f}s", flush=True)
@@ -27,7 +45,11 @@ value_pull(dev.emb_cache)
 
 ivf_lengths = np.asarray(dev.ivf_lengths)
 cand_cap = candidate_capacity(ivf_lengths, min(q_len * 8, ispec.n_partitions), 4096)
-slot_budget = suggest_slot_budget(ivf_lengths, 4096)
+approx_mode, rank_admit, slot_budget = resolve_approx_mode(
+    "auto", ivf_lengths, q_cap=q_len, n_ivf_probe=8, n_full_scores=4096,
+    n_partitions=ispec.n_partitions, cand_cap=cand_cap,
+)
+print(f"auto -> {approx_mode}@{rank_admit} slot_budget={slot_budget}", flush=True)
 tile_b = min(256, suggest_query_tile(ispec, q_len, cand_cap, slot_budget=slot_budget))
 
 @jax.jit
@@ -44,24 +66,30 @@ def run(batch, divisor, nfs=4096):
         n_full_scores=nfs, want_tokens=False, cand_cap=cand_cap,
         mem_budget=1 << 30, use_rerank_kernel=True, slot_budget=slot_budget,
         use_estimate_kernel=True, pool_divisor=divisor,
+        approx_mode=approx_mode, rank_admit=rank_admit,
     )
 
 res = {}
-for div in (2, 4, 8):
+for div in (2, 4, 8, 16):
     float(np.asarray(run(tiles[0], div)[1]).ravel()[0])  # honest warmup
     t0 = time.perf_counter()
     outs = [run(t, div) for t in tiles]
     jax.block_until_ready(outs)
     el = time.perf_counter() - t0
     qps = 5 * tile_b / el
+    # Planted probes through the same divisor (untimed).
+    qpad = np.zeros((tile_b, q_len, dim), np.float32)
+    qpad[:n_probes] = probe_queries
+    ep = np.asarray(run(jnp.asarray(qpad), div)[0])[:n_probes]
+    hit1 = float(np.mean(ep[:, 0] == probe_pids))
     res[div] = (qps, [np.asarray(o[0]) for o in outs], [np.asarray(o[1]) for o in outs])
-    print(f"divisor {div}: {qps:.1f} qps", flush=True)
+    print(f"divisor {div}: {qps:.1f} qps  planted_hit@1={hit1:.3f}", flush=True)
 
 # Quality: top-10 pid overlap + score-mass of div-N vs div-1 (pool = full n_full_scores).
 # Padding slots carry pid < 0 / -inf scores; exclude them from both metrics.
 float(np.asarray(run(tiles[0], 1)[1]).ravel()[0])
 truth = [(np.asarray(o[0]), np.asarray(o[1])) for o in [run(t, 1) for t in tiles]]
-for div in (2, 4, 8):
+for div in (2, 4, 8, 16):
     ov, mass = [], []
     for (tp, ts), pp, ps in zip(truth, res[div][1], res[div][2]):
         for r in range(tp.shape[0]):

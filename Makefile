@@ -1,9 +1,14 @@
 # Developer entry points (parity with the reference's Makefile targets).
 
-.PHONY: test native bench lint clean
+.PHONY: test test-all native bench lint clean
 
+# Fast gate: slow-marked fixtures excluded (pyproject addopts), < 5 min.
 test:
 	python -m pytest tests/ -x -q
+
+# Full suite including slow-marked fixtures (what CI runs).
+test-all:
+	python -m pytest tests/ -x -q -m ""
 
 native:
 	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread \

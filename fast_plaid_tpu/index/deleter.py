@@ -43,12 +43,13 @@ def delete_from_index(index_path: str, subset: list[int]) -> None:
     for ci in range(num_chunks):
         cpath, rpath, dpath, mpath = storage.chunk_paths(index_path, ci)
         codes = np.load(cpath)
-        residuals = np.load(rpath)
         doclens = chunk_doclens[ci]
         base = int(chunk_doc_offsets[ci])
 
         keep = [i for i in range(len(doclens)) if (base + i) not in to_delete]
-        if len(keep) != len(doclens):
+        touched = len(keep) != len(doclens)
+        if touched:
+            residuals = np.load(rpath)
             token_starts = np.concatenate(
                 [[0], np.cumsum(np.asarray(doclens, np.int64))]
             )
@@ -58,21 +59,25 @@ def delete_from_index(index_path: str, subset: list[int]) -> None:
             codes = codes[token_mask]
             residuals = residuals[token_mask]
             doclens = [doclens[i] for i in keep]
-
-        np.save(cpath, np.asarray(codes, np.int32))
-        np.save(rpath, np.asarray(residuals, np.uint8))
-        with open(dpath, "w") as f:
-            json.dump(doclens, f)
-        with open(mpath, "w") as f:
-            json.dump(
-                {
-                    "num_documents": len(doclens),
-                    "num_embeddings": int(codes.shape[0]),
-                    "embedding_offset": emb_offset,
-                },
-                f,
-                indent=4,
-            )
+            np.save(cpath, np.asarray(codes, np.int32))
+            np.save(rpath, np.asarray(residuals, np.uint8))
+            with open(dpath, "w") as f:
+                json.dump(doclens, f)
+        # Untouched chunks keep their data files (and mtimes — the merged
+        # mmap manifest stays valid for them); only the metadata file is
+        # refreshed, and only when a preceding chunk shrank and shifted
+        # this chunk's embedding_offset (the reference rewrites every
+        # chunk, delete.rs:45-103 — skipping clean ones is free).
+        with open(mpath) as f:
+            old_meta = json.load(f)
+        new_meta = {
+            "num_documents": len(doclens),
+            "num_embeddings": int(codes.shape[0]),
+            "embedding_offset": emb_offset,
+        }
+        if touched or old_meta != new_meta:
+            with open(mpath, "w") as f:
+                json.dump(new_meta, f, indent=4)
         emb_offset += int(codes.shape[0])
         all_codes.append(np.asarray(codes, np.int32))
         all_doclens.extend(doclens)

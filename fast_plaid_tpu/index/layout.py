@@ -648,45 +648,77 @@ def _write_q4_seg(
     return out, scale_out
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "block"))
-def _decompress_2d(codes, residuals, centroids, bucket_weights, *, nbits, block):
-    """Decompress a whole [N, cap(, PD)] doc-major array in ``block`` chunks.
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "block", "seg"), donate_argnums=(0,)
+)
+def _write_emb_seg(
+    out, codes, res_flat, centroids, bucket_weights, start, *, nbits, block, seg
+):
+    """Decompress one ``seg``-doc slice into the donated bf16 cache.
 
-    Blocks are read with clamped dynamic slices instead of padding the
-    inputs to a block multiple — jnp.pad would COPY the full residual
-    array (+GBs at exactly the moment the output cache is also live;
-    measured OOM at 523k docs). The clamp MUST apply to the read and the
-    write together: a final block whose start clamps to ``n - block``
-    holds rows [n - block, n), so its output must land at that same
-    offset (writing it at ``i * block`` hands every cache row past the
-    last full block the decompressed values of the WRONG documents —
-    the planted-recall bug this replaces: hit@1 0.641 at 3k docs, every
-    miss a doc past row 2048). Rows the clamp re-covers are rewritten
-    with identical values; rows in [n, nb * block) stay zero and are
-    unreachable (caches are only ever row-gathered by pid < n).
+    Same shape as _write_q4_seg: ``out`` [n, cap, D] bf16 is donated and
+    updated with one dynamic_update_slice, so XLA aliases it in place and
+    the cache exists exactly once per program. ``start`` is traced (one
+    compilation serves every segment); the caller clamps it to n - seg.
     """
     from fast_plaid_tpu.ops import codec as codec_ops
 
     n, cap = codes.shape
-    res_flat = residuals.reshape(n, -1)  # lane-flattened or [N, cap, PD]
     pd = res_flat.shape[1] // cap
-    dim = centroids.shape[-1]
-    nb = -(-n // block)
+    cc = jax.lax.dynamic_slice(codes, (start, 0), (seg, cap))
+    rr = jax.lax.dynamic_slice(res_flat, (start, 0), (seg, cap * pd))
 
-    def one(i, out):
-        s = jnp.maximum(jnp.minimum(i * block, n - block), 0)
-        cc = jax.lax.dynamic_slice(codes, (s, 0), (block, cap))
-        rr = jax.lax.dynamic_slice(
-            res_flat, (s, 0), (block, cap * pd)
+    def one(i):
+        c_blk = jax.lax.dynamic_slice(cc, (i * block, 0), (block, cap))
+        r_blk = jax.lax.dynamic_slice(
+            rr, (i * block, 0), (block, cap * pd)
         ).reshape(block, cap, pd)
-        emb = codec_ops.decompress(
-            cc, rr, centroids, bucket_weights, nbits, out_dtype=jnp.bfloat16
+        return codec_ops.decompress(
+            c_blk, r_blk, centroids, bucket_weights, nbits,
+            out_dtype=jnp.bfloat16,
         )
-        return jax.lax.dynamic_update_slice(out, emb, (s, 0, 0))
 
-    # fori_loop + donated-style dynamic_update_slice keeps the cache a
-    # single buffer (slicing a block-stacked result to [:n] would
-    # materialize a SECOND full-size copy at exactly the moment both are
-    # live — measured OOM at 2M docs).
-    out0 = jnp.zeros((nb * block, cap, dim), jnp.bfloat16)
-    return jax.lax.fori_loop(0, nb, one, out0)
+    emb_seg = jax.lax.map(one, jnp.arange(seg // block, dtype=jnp.int32))
+    dim = emb_seg.shape[-1]
+    return jax.lax.dynamic_update_slice(
+        out, emb_seg.reshape(seg, cap, dim), (start, 0, 0)
+    )
+
+
+def _decompress_2d(codes, residuals, centroids, bucket_weights, *, nbits, block):
+    """Decompress a whole [N, cap(, PD)] doc-major array into a bf16 cache.
+
+    Same realization as quantize_q4_all (whose in-place pattern this
+    inherits — the 4x-larger bf16 cache needs it even more): the finished
+    cache is preallocated once and DONATED through a host-level segment
+    loop of _write_emb_seg calls, so every program's live set is the
+    inputs + the one cache (aliased in place) + one segment temp. A
+    fori_loop carrying the cache ping-pongs two full-size copies
+    (while-carry double buffering — the pattern quantize_q4_all measured
+    OOM at 2M docs), and a stacked-scan result costs a full-size
+    program-result copy. Segment starts clamp to n - seg with reads AND
+    writes together, so a ragged tail re-processes a few rows instead of
+    shifting them (the read-only clamp this lineage replaced misaligned
+    tail docs: planted hit@1 0.641 at 3k docs).
+    """
+    n, cap = codes.shape
+    res_flat = residuals.reshape(n, -1)  # lane-flattened or [N, cap, PD]
+    dim = centroids.shape[-1]
+    blk = min(block, n)
+    seg_blocks = min(64, n // blk)
+    seg = blk * seg_blocks  # <= n by construction
+    out = jnp.zeros((n, cap, dim), jnp.bfloat16)
+    for s in range(-(-n // seg)):
+        start = min(s * seg, n - seg)
+        out = _write_emb_seg(
+            out,
+            codes,
+            res_flat,
+            centroids,
+            bucket_weights,
+            jnp.int32(start),
+            nbits=nbits,
+            block=blk,
+            seg=seg,
+        )
+    return out

@@ -355,9 +355,19 @@ def candidates_impl(
     # returns scores descending, so rank = position) and sort packed so
     # the MINIMUM rank lands at each equal-cell run's head: the budgeted
     # path's rank-based admission tier needs, per deduped cell, the best
-    # rank at which ANY query token probed it. kp * pp stays well inside
-    # int32 for every realistic partition count (2^22 cells x 256 probe).
+    # rank at which ANY query token probed it.
     pp = 1 << max((probe - 1).bit_length(), 1)
+    if (kp + 1) * pp >= 2**31:
+        # int32 packing bound: the sentinel key is kp * pp. Realistic
+        # configurations sit far inside it (2^22 cells x 256 probe); an
+        # oversized one must fail loudly here rather than silently corrupt
+        # cell dedup/admission ordering downstream.
+        msg = (
+            f"n_partitions ({kp}) x probe-rank range ({pp}) overflows the "
+            "int32 cell/rank packing; reduce n_ivf_probe or the partition "
+            "count"
+        )
+        raise ValueError(msg)
     rank = jax.lax.broadcasted_iota(jnp.int32, (b, q, probe), 2)
     packed = jnp.where(cells == kp, kp * pp, cells * pp + rank)
     packed = jnp.sort(packed.reshape(b, q * probe), axis=-1)
@@ -1442,7 +1452,11 @@ def resolve_approx_mode(
         if ivf_lengths_host is not None:
             lens_h = np.asarray(ivf_lengths_host, np.float64)
             n_cells = min(q_cap * n_ivf_probe, max(n_partitions, 1))
-            expected = float(lens_h.mean()) * n_cells
+            # Empty-IVF guard (mirrors suggest_safe_budget): a zero-cell
+            # index would otherwise emit a mean-of-empty-slice warning and
+            # resolve through expected = nan.
+            mean_len = float(lens_h.mean()) if lens_h.size else 0.0
+            expected = mean_len * n_cells
             if expected > 6.0 * n_full_scores:
                 r_adm = 1
                 if expected > 32.0 * n_full_scores:

@@ -52,8 +52,10 @@ def last_search_stats() -> dict:
     DESIGN — the estimator working as intended, not a problem),
     ``cap_overflow_slots`` (slots the static buffers truncated beyond what
     the budget wanted — genuine overflow that can cost recall; the only
-    condition that warns), and ``dropped_candidate_slots`` (legacy alias
-    of ``cap_overflow_slots``).
+    condition that warns), and ``dropped_candidate_slots`` (legacy key:
+    the TOTAL slots not scored, pruned + overflow — the meaning it had
+    before the split, so pre-split consumers keep reading the same
+    quantity).
     """
     import threading
 
@@ -660,8 +662,16 @@ def search_on_device(
 
     import threading
 
+    # Evict entries for threads that no longer exist (long-lived servers
+    # spawn/retire pool threads; without eviction the dict grows without
+    # bound). Live thread idents are O(threads) to enumerate — cheap next
+    # to a search call.
+    live = {t.ident for t in threading.enumerate()}
+    for ident in [k for k in _LAST_STATS if k not in live]:
+        _LAST_STATS.pop(ident, None)
     _LAST_STATS[threading.get_ident()] = {
-        "dropped_candidate_slots": overflow_total,  # legacy alias
+        # Legacy key: the pre-split meaning (TOTAL unscored slots).
+        "dropped_candidate_slots": pruned_total + overflow_total,
         "budget_pruned_slots": pruned_total,
         "cap_overflow_slots": overflow_total,
         "queries": nq,

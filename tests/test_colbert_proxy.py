@@ -9,6 +9,7 @@ test (a) sanity-checks that those statistics are actually present and
 """
 
 import numpy as np
+import pytest
 
 from fast_plaid_tpu.evaluation import evaluate
 from fast_plaid_tpu.evaluation.synthetic import (
@@ -53,6 +54,7 @@ def test_proxy_statistics_match_colbert_shape():
     assert float(cos_t.min()) > 0.9, float(cos_t.min())
 
 
+@pytest.mark.slow
 def test_cascade_parity_on_colbert_proxy(test_index_path):
     rng = np.random.default_rng(7)
     docs, queries, _ = colbert_proxy_corpus(

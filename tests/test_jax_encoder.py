@@ -16,6 +16,8 @@ import pytest
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
+pytestmark = pytest.mark.slow
+
 TEXTS = [
     "a tiny document about token level retrieval",
     "another text, with punctuation! and more words than the first one",

@@ -28,6 +28,8 @@ from fast_plaid_tpu.search import FastPlaid
 from fast_plaid_tpu.search.searcher import last_search_stats
 
 N_DOCS = 20_000
+
+pytestmark = pytest.mark.slow
 N_QUERIES = 24
 DIM = 64
 

@@ -9,6 +9,7 @@ uncompressed exact truth.
 """
 
 import numpy as np
+import pytest
 
 from fast_plaid_tpu.evaluation import evaluate
 from fast_plaid_tpu.evaluation.synthetic import (
@@ -24,6 +25,7 @@ def _score(rows, qrels, qids):
     return evaluate(fmt, qrels, qids, metrics=["ndcg@10", "recall@10"])
 
 
+@pytest.mark.slow
 def test_cascade_ndcg_parity_with_exact(test_index_path):
     rng = np.random.default_rng(42)
     docs, queries, _ = topic_corpus(

@@ -77,6 +77,7 @@ class TestStreamingBuild:
                 err_msg=name,
             )
 
+    @pytest.mark.slow
     def test_matches_device_build_search(self, corpus, trained):
         """Streaming vs non-streaming build of the same corpus: same
         retrieval (codec training differs only in sample selection, so
@@ -124,6 +125,7 @@ class TestStreamingBuild:
                 scores[qi], truth[pids[qi]], rtol=2e-3, atol=2e-3
             )
 
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self, corpus, trained):
         chunk_gen, lens, _, _ = corpus
         cent, params, k = trained
@@ -153,6 +155,7 @@ class TestStreamingBuild:
         np.testing.assert_array_equal(sp, gp)
         np.testing.assert_allclose(ss, gs, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_sharded_empty_tail_shards(self, trained):
         """More shards than needed: tail shards hold zero documents."""
         chunk_gen, lens, _, _ = make_corpus(n_docs=11, seed=8)

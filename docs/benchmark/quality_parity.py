@@ -37,6 +37,8 @@ def run(
     seed: int,
     device: str | None,
     generator: str = "topic",
+    pool_divisor: int | None = None,
+    doc_len: int | None = None,
 ):
     from fast_plaid_tpu.evaluation import evaluate
     from fast_plaid_tpu.evaluation.synthetic import (
@@ -50,7 +52,12 @@ def run(
     gen = topic_corpus if generator == "topic" else colbert_proxy_corpus
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
-    docs, queries, _ = gen(rng, n_docs, n_queries, dim=dim)
+    gen_kw = {}
+    if doc_len is not None:
+        # BEIR regime (reference benchmark.py:47 truncates documents at
+        # 300 tokens): mean at the cap's neighborhood, capped at doc_len.
+        gen_kw = {"mean_len": int(doc_len * 0.8), "max_len": int(doc_len)}
+    docs, queries, _ = gen(rng, n_docs, n_queries, dim=dim, **gen_kw)
     print(f"# corpus: {n_docs} docs / {n_queries} queries "
           f"({time.perf_counter() - t0:.1f}s)")
 
@@ -73,7 +80,12 @@ def run(
         exact_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        cascade = engine.search(queries, top_k=100, show_progress=False)
+        cascade = engine.search(
+            queries,
+            top_k=100,
+            show_progress=False,
+            pool_divisor=pool_divisor,
+        )
         cascade_s = time.perf_counter() - t0
 
     metrics = ["ndcg@10", "recall@10", "recall@100", "mrr@10"]
@@ -91,6 +103,8 @@ def run(
             "dim": dim,
             "seed": seed,
             "generator": f"evaluation.synthetic.{'topic_corpus' if generator == 'topic' else 'colbert_proxy_corpus'}",
+            "doc_len": doc_len,
+            "pool_divisor": pool_divisor,
         },
         "truth": "exhaustive MaxSim on raw embeddings, qrels = top-10",
         "exact_decompressed": score(exact_dec),
@@ -119,6 +133,9 @@ def main():
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--device", default=None)
+    ap.add_argument("--pool-divisor", type=int, default=None)
+    ap.add_argument("--doc-len", type=int, default=None)
+    ap.add_argument("--out", default=None, help="result file name override")
     ap.add_argument(
         "--generator",
         default="topic",
@@ -129,10 +146,11 @@ def main():
     args = ap.parse_args()
     out = run(
         args.docs, args.queries, args.dim, args.seed, args.device,
-        generator=args.generator,
+        generator=args.generator, pool_divisor=args.pool_divisor,
+        doc_len=args.doc_len,
     )
     os.makedirs(os.path.join(os.path.dirname(__file__), "results"), exist_ok=True)
-    name = (
+    name = args.out or (
         "quality_parity.json"
         if args.generator == "topic"
         else "quality_parity_colbert_proxy.json"

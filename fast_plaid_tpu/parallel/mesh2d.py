@@ -91,12 +91,15 @@ def replicate_sharded_index(
         "pool_divisor",
         "use_estimate_kernel",
         "use_rerank_kernel",
+        "want_tokens",
+        "with_stats",
     ),
 )
 def _search_2d_jit(
     dev: DeviceIndex,
     doc_base: jax.Array,
     queries: jax.Array,  # [B, Q, D], B divisible by n_replicas
+    subset: jax.Array | None = None,  # [B, S] GLOBAL ids, sorted asc
     *,
     ispec: IndexSpec,
     top_k: int,
@@ -111,20 +114,32 @@ def _search_2d_jit(
     pool_divisor: int = 2,
     use_estimate_kernel: bool = False,
     use_rerank_kernel: bool = False,
+    want_tokens: bool = False,
+    with_stats: bool = False,
 ):
-    def local(dev_blk: DeviceIndex, base_blk: jax.Array, q: jax.Array):
+    from fast_plaid_tpu.parallel.sharded import (
+        _merge_tokens,
+        _merge_topk,
+        _rebase_subset,
+    )
+
+    def local(dev_blk: DeviceIndex, base_blk: jax.Array, q: jax.Array, sub):
         # q: this replica's query slice (replicated along 'd' inside the
         # group); dev_blk: this chip's document shard.
         dev_local = jax.tree.map(lambda x: x[0], dev_blk)
-        pids, scores = search_impl(
+        sub_local = (
+            None if sub is None else _rebase_subset(sub, base_blk[0], ispec)
+        )
+        out = search_impl(
             dev_local,
             q,
-            None,
+            sub_local,
             ispec=ispec,
             top_k=top_k,
             n_ivf_probe=n_ivf_probe,
             n_full_scores=n_full_scores,
-            want_tokens=False,
+            want_tokens=want_tokens,
+            with_stats=with_stats,
             mem_budget=mem_budget,
             cand_cap=cand_cap,
             approx_mode=approx_mode,
@@ -134,17 +149,22 @@ def _search_2d_jit(
             use_estimate_kernel=use_estimate_kernel,
             use_rerank_kernel=use_rerank_kernel,
         )
+        out = list(out)
+        stats = out.pop() if with_stats else None
+        pids, scores = out[0], out[1]
         gpids = jnp.where(pids >= 0, pids + base_blk[0], -1)
         # Merge ONLY across this replica's shard group ('d'); the 'r'
         # axis carries independent query slices.
-        all_p = jax.lax.all_gather(gpids, "d")  # [n_shards, b_r, k]
-        all_s = jax.lax.all_gather(scores, "d")
-        b_r = q.shape[0]
-        all_p = all_p.transpose(1, 0, 2).reshape(b_r, -1)
-        all_s = all_s.transpose(1, 0, 2).reshape(b_r, -1)
-        ms, mi = jax.lax.top_k(all_s, top_k)
-        return jnp.take_along_axis(all_p, mi, axis=1), ms
+        mp, ms, mi = _merge_topk(gpids, scores, top_k, "d")
+        res = [mp, ms]
+        if want_tokens:
+            mt, ml = _merge_tokens(out[2], out[3], mi, "d")
+            res += [mt, ml]
+        if with_stats:
+            res.append(jax.lax.psum(stats, "d"))
+        return tuple(res)
 
+    n_out = 2 + 2 * want_tokens + with_stats
     return jax.shard_map(
         local,
         mesh=mesh,
@@ -152,10 +172,11 @@ def _search_2d_jit(
             jax.tree.map(lambda _: P("d"), dev),
             P("d"),
             P("r"),
+            None if subset is None else P("r"),
         ),
-        out_specs=(P("r"), P("r")),
+        out_specs=(P("r"),) * n_out,
         check_vma=False,
-    )(dev, doc_base, queries)
+    )(dev, doc_base, queries, subset)
 
 
 def sharded_search_2d(
@@ -169,14 +190,24 @@ def sharded_search_2d(
     approx_mode: str = "auto",
     rank_admit: int | None = None,
     pool_divisor: int = 2,
+    subset: np.ndarray | list[list[int]] | None = None,
+    want_tokens: bool = False,
+    with_stats: bool = False,
 ):
     """[B, Q, D] queries -> ([B, top_k] global ids, scores) on an
     ('r', 'd') mesh. Batches not divisible by n_replicas are padded with
     zero queries and trimmed. ``approx_mode="auto"`` resolves through the
-    same policy as the single-chip driver (engine.resolve_approx_mode)."""
+    same policy as the single-chip driver (engine.resolve_approx_mode).
+
+    ``subset``/``want_tokens``/``with_stats`` behave as in
+    parallel.sharded.sharded_search (subsets are GLOBAL ids, rebased per
+    shard; stats are summed over each replica's shard group).
+    """
     from fast_plaid_tpu.parallel.sharded import (
         _kernel_flags,
         _resolve_shard_params,
+        pad_global_subsets,
+        SUBSET_SENTINEL,
     )
 
     mesh = sharded.mesh
@@ -184,10 +215,21 @@ def sharded_search_2d(
     q_np = np.asarray(queries, np.float32)
     b = q_np.shape[0]
     bp = -(-b // n_rep) * n_rep
+    if isinstance(subset, list):
+        subset = pad_global_subsets(subset, sharded.n_docs_total)
     if bp != b:
         q_np = np.concatenate(
             [q_np, np.zeros((bp - b, *q_np.shape[1:]), np.float32)]
         )
+        if subset is not None:
+            subset = np.concatenate(
+                [
+                    np.asarray(subset, np.int32),
+                    np.full(
+                        (bp - b, subset.shape[1]), SUBSET_SENTINEL, np.int32
+                    ),
+                ]
+            )
     approx_mode, rank_admit, slot_budget, cand_cap = _resolve_shard_params(
         sharded.ivf_lengths_host,
         sharded.ispec,
@@ -199,10 +241,18 @@ def sharded_search_2d(
     )
     est_kernel, rerank_kernel = _kernel_flags(sharded.dev)
     q = jax.device_put(q_np, NamedSharding(mesh, P("r")))
-    pids, scores = _search_2d_jit(
+    sub_dev = (
+        None
+        if subset is None
+        else jax.device_put(
+            np.asarray(subset, np.int32), NamedSharding(mesh, P("r"))
+        )
+    )
+    out = _search_2d_jit(
         sharded.dev,
         sharded.doc_base,
         q,
+        sub_dev,
         ispec=sharded.ispec,
         top_k=top_k,
         n_ivf_probe=n_ivf_probe,
@@ -216,5 +266,7 @@ def sharded_search_2d(
         pool_divisor=pool_divisor,
         use_estimate_kernel=est_kernel,
         use_rerank_kernel=rerank_kernel,
+        want_tokens=want_tokens,
+        with_stats=with_stats,
     )
-    return pids[:b], scores[:b]
+    return tuple(x[:b] for x in out)

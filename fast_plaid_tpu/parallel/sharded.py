@@ -40,6 +40,8 @@ __all__ = [
     "build_sharded_index",
     "sharded_search",
     "query_sharded_search",
+    "pad_global_subsets",
+    "SUBSET_SENTINEL",
 ]
 
 
@@ -145,6 +147,62 @@ def build_sharded_index(
     )
 
 
+def _rebase_subset(
+    subset: jax.Array, base: jax.Array, ispec: IndexSpec
+) -> jax.Array:
+    """Globally-addressed subset rows -> this shard's local pid space.
+
+    ``subset`` is [B, S] int32 sorted ascending with out-of-corpus
+    sentinel padding (any value outside every shard's range works). Ids
+    outside [base, base + shard_docs) map to the shard sentinel and the
+    row is re-sorted — the per-shard form search_impl expects (sorted
+    asc, sentinel_pid padding). The reference threads subsets through its
+    multi-GPU dispatch the same way, minus the rebasing (its replicas
+    hold the whole corpus; reference fast_plaid.py:797-928).
+    """
+    loc = subset - base
+    ok = (loc >= 0) & (loc < ispec.n_docs)
+    return jnp.sort(
+        jnp.where(ok, loc, ispec.sentinel_pid).astype(jnp.int32), axis=-1
+    )
+
+
+def _merge_topk(gpids, scores, top_k, axis):
+    """ICI merge: gather tiny [B, top_k] per-chip results, re-top-k.
+
+    Returns (merged pids, merged scores, mi, n_shards) where ``mi``
+    indexes the [B, n*k] gathered layout (used to select the winning
+    shard's token matrices without gathering candidate sets).
+    """
+    all_p = jax.lax.all_gather(gpids, axis)  # [n, B, k]
+    all_s = jax.lax.all_gather(scores, axis)
+    n, b, k = all_p.shape
+    all_p = all_p.transpose(1, 0, 2).reshape(b, -1)
+    all_s = all_s.transpose(1, 0, 2).reshape(b, -1)
+    ms, mi = jax.lax.top_k(all_s, top_k)
+    mp = jnp.take_along_axis(all_p, mi, axis=1)
+    mp = jnp.where(jnp.isneginf(ms), -1, mp)
+    return mp, ms, mi
+
+
+def _merge_tokens(tok, doc_lens, mi, axis):
+    """Select the merged winners' token matrices across shards.
+
+    all_gathers the per-shard [B, k, doc_cap, Q] winner matrices (top_k
+    rows per chip — never candidate sets) and picks the rows the merged
+    top-k chose. ICI payload is n_shards * B * k * doc_cap * Q * 4 bytes;
+    keep query tiles small when requesting token scores on a mesh.
+    """
+    all_t = jax.lax.all_gather(tok, axis)  # [n, B, k, cap, Q]
+    all_l = jax.lax.all_gather(doc_lens, axis)  # [n, B, k]
+    n, b, k = all_l.shape
+    all_t = all_t.transpose(1, 0, 2, 3, 4).reshape(b, n * k, *all_t.shape[3:])
+    all_l = all_l.transpose(1, 0, 2).reshape(b, n * k)
+    mt = jnp.take_along_axis(all_t, mi[..., None, None], axis=1)
+    ml = jnp.take_along_axis(all_l, mi, axis=1)
+    return mt, ml
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -161,12 +219,15 @@ def build_sharded_index(
         "pool_divisor",
         "use_estimate_kernel",
         "use_rerank_kernel",
+        "want_tokens",
+        "with_stats",
     ),
 )
 def _sharded_search_jit(
     dev: DeviceIndex,
     doc_base: jax.Array,
     queries: jax.Array,
+    subset: jax.Array | None = None,  # [B, S] GLOBAL ids, sorted asc
     *,
     ispec: IndexSpec,
     top_k: int,
@@ -181,20 +242,26 @@ def _sharded_search_jit(
     pool_divisor: int = 2,
     use_estimate_kernel: bool = False,
     use_rerank_kernel: bool = False,
+    want_tokens: bool = False,
+    with_stats: bool = False,
 ):
     axis = mesh.axis_names[0]
 
-    def local(dev_blk: DeviceIndex, base_blk: jax.Array, q: jax.Array):
+    def local(dev_blk: DeviceIndex, base_blk: jax.Array, q: jax.Array, sub):
         dev_local = jax.tree.map(lambda x: x[0], dev_blk)
-        pids, scores = search_impl(
+        sub_local = (
+            None if sub is None else _rebase_subset(sub, base_blk[0], ispec)
+        )
+        out = search_impl(
             dev_local,
             q,
-            None,
+            sub_local,
             ispec=ispec,
             top_k=top_k,
             n_ivf_probe=n_ivf_probe,
             n_full_scores=n_full_scores,
-            want_tokens=False,
+            want_tokens=want_tokens,
+            with_stats=with_stats,
             mem_budget=mem_budget,
             cand_cap=cand_cap,
             approx_mode=approx_mode,
@@ -204,16 +271,19 @@ def _sharded_search_jit(
             use_estimate_kernel=use_estimate_kernel,
             use_rerank_kernel=use_rerank_kernel,
         )
+        out = list(out)
+        stats = out.pop() if with_stats else None
+        pids, scores = out[0], out[1]
         gpids = jnp.where(pids >= 0, pids + base_blk[0], -1)
-        # ICI merge: gather the tiny [B, top_k] per-chip results, re-top-k.
-        all_p = jax.lax.all_gather(gpids, axis)  # [n, B, k]
-        all_s = jax.lax.all_gather(scores, axis)
-        b = q.shape[0]
-        all_p = all_p.transpose(1, 0, 2).reshape(b, -1)
-        all_s = all_s.transpose(1, 0, 2).reshape(b, -1)
-        ms, mi = jax.lax.top_k(all_s, top_k)
-        mp = jnp.take_along_axis(all_p, mi, axis=1)
-        return mp, ms
+        mp, ms, mi = _merge_topk(gpids, scores, top_k, axis)
+        res = [mp, ms]
+        if want_tokens:
+            mt, ml = _merge_tokens(out[2], out[3], mi, axis)
+            res += [mt, ml]
+        if with_stats:
+            # Global accounting: overflow on ANY shard can cost recall.
+            res.append(jax.lax.psum(stats, axis))
+        return tuple(res)
 
     return jax.shard_map(
         local,
@@ -222,10 +292,11 @@ def _sharded_search_jit(
             jax.tree.map(lambda _: P(axis), dev),
             P(axis),
             P(),
+            None if subset is None else P(),
         ),
-        out_specs=(P(), P()),
+        out_specs=(P(),) * (2 + 2 * want_tokens + with_stats),
         check_vma=False,
-    )(dev, doc_base, queries)
+    )(dev, doc_base, queries, subset)
 
 
 def _resolve_shard_params(
@@ -296,6 +367,29 @@ def _kernel_flags(dev: DeviceIndex) -> tuple[bool, bool]:
     return est, rer
 
 
+# Globally-addressed subset padding: decisively outside every shard's
+# range (a per-shard rebase maps it to that shard's sentinel). Using the
+# corpus size instead would alias the tail shard's first PADDING doc.
+SUBSET_SENTINEL = 2**31 - 1
+
+
+def pad_global_subsets(
+    subsets: list[list[int]] | None, n_docs_total: int
+) -> np.ndarray | None:
+    """list-of-id-lists -> [B, S] int32, sorted asc, SUBSET_SENTINEL pad."""
+    if subsets is None:
+        return None
+    s_cap = max(max((len(s) for s in subsets), default=0), 1)
+    s_cap = ((s_cap + 7) // 8) * 8
+    out = np.full((len(subsets), s_cap), SUBSET_SENTINEL, np.int32)
+    for i, s in enumerate(subsets):
+        vals = np.asarray(
+            sorted(v for v in s if 0 <= v < n_docs_total), np.int32
+        )
+        out[i, : len(vals)] = vals
+    return out
+
+
 def sharded_search(
     sharded: ShardedIndex,
     queries: np.ndarray,
@@ -307,6 +401,9 @@ def sharded_search(
     approx_mode: str = "auto",
     rank_admit: int | None = None,
     pool_divisor: int = 2,
+    subset: np.ndarray | list[list[int]] | None = None,
+    want_tokens: bool = False,
+    with_stats: bool = False,
 ):
     """Doc-sharded search: [B, Q, D] queries -> ([B, top_k] ids, scores).
 
@@ -314,8 +411,18 @@ def sharded_search(
     single-chip driver (engine.resolve_approx_mode) using per-shard IVF
     statistics — scaling from one chip to the mesh keeps the recall-safe
     default and the rank-admission machinery.
+
+    ``subset``: per-query allowed GLOBAL doc ids — a [B, S] int32 array
+    (sorted asc, SUBSET_SENTINEL padding) or a list of id lists; each
+    shard rebases to its local pid space (the reference carries subsets
+    through its multi-GPU dispatch too, fast_plaid.py:797-928).
+    ``want_tokens`` appends (token_scores [B, top_k, doc_cap, Q],
+    doc_lens [B, top_k]); ``with_stats`` appends the [B, 2] int32
+    budget-pruned/cap-overflow accounting summed over shards.
     """
     q = jnp.asarray(queries, dtype=jnp.float32)
+    if isinstance(subset, list):
+        subset = pad_global_subsets(subset, sharded.n_docs_total)
     approx_mode, rank_admit, slot_budget, cand_cap = _resolve_shard_params(
         sharded.ivf_lengths_host,
         sharded.ispec,
@@ -330,6 +437,7 @@ def sharded_search(
         sharded.dev,
         sharded.doc_base,
         q,
+        None if subset is None else jnp.asarray(subset, jnp.int32),
         ispec=sharded.ispec,
         top_k=top_k,
         n_ivf_probe=n_ivf_probe,
@@ -343,6 +451,8 @@ def sharded_search(
         pool_divisor=pool_divisor,
         use_estimate_kernel=est_kernel,
         use_rerank_kernel=rerank_kernel,
+        want_tokens=want_tokens,
+        with_stats=with_stats,
     )
 
 
@@ -360,6 +470,9 @@ def query_sharded_search(
     rank_admit: int | None = None,
     pool_divisor: int = 2,
     ivf_lengths_host: np.ndarray | None = None,
+    subset: np.ndarray | list[list[int]] | None = None,
+    want_tokens: bool = False,
+    with_stats: bool = False,
 ):
     """Replicated-index data parallelism: the query batch is mesh-sharded.
 
@@ -369,16 +482,31 @@ def query_sharded_search(
     thread-per-GPU dispatch. ``approx_mode="auto"`` resolves through the
     shared policy (engine.resolve_approx_mode); pass ``ivf_lengths_host``
     (host copy of dev.ivf_lengths) to avoid one device->host pull.
+
+    ``subset`` rows address the full corpus (the index is replicated, so
+    no rebasing): [B, S] sorted asc with sentinel_pid padding, or a list
+    of id lists. ``want_tokens``/``with_stats`` append token matrices +
+    doc lengths / the [B, 2] stats, as search_impl does.
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
     q_np = np.asarray(queries, np.float32)
     b = q_np.shape[0]
     bp = -(-b // n) * n
+    if isinstance(subset, list):
+        sub_np = pad_global_subsets(subset, ispec.n_docs)
+        # Replicated index: local == global ids; clamp the global padding
+        # sentinel to the engine's own.
+        subset = np.minimum(sub_np, ispec.sentinel_pid).astype(np.int32)
     if bp != b:
         q_np = np.concatenate(
             [q_np, np.zeros((bp - b, *q_np.shape[1:]), np.float32)]
         )
+        if subset is not None:
+            pad_rows = np.full(
+                (bp - b, subset.shape[1]), ispec.sentinel_pid, np.int32
+            )
+            subset = np.concatenate([np.asarray(subset, np.int32), pad_rows])
     if ivf_lengths_host is None:
         ivf_lengths_host = np.asarray(dev.ivf_lengths)[: ispec.n_partitions]
     approx_mode, rank_admit, slot_budget, cand_cap = _resolve_shard_params(
@@ -393,7 +521,13 @@ def query_sharded_search(
     est_kernel, rerank_kernel = _kernel_flags(dev)
     repl = NamedSharding(mesh, P())
     dev_repl = jax.tree.map(lambda x: jax.device_put(x, repl), dev)
-    q = jax.device_put(jnp.asarray(q_np), NamedSharding(mesh, P(axis)))
+    batch_sh = NamedSharding(mesh, P(axis))
+    q = jax.device_put(jnp.asarray(q_np), batch_sh)
+    sub_dev = (
+        None
+        if subset is None
+        else jax.device_put(jnp.asarray(subset, jnp.int32), batch_sh)
+    )
     fn = jax.jit(
         partial(
             search_impl,
@@ -401,7 +535,8 @@ def query_sharded_search(
             top_k=top_k,
             n_ivf_probe=n_ivf_probe,
             n_full_scores=n_full_scores,
-            want_tokens=False,
+            want_tokens=want_tokens,
+            with_stats=with_stats,
             mem_budget=mem_budget,
             cand_cap=cand_cap,
             approx_mode=approx_mode,
@@ -412,5 +547,5 @@ def query_sharded_search(
             use_rerank_kernel=rerank_kernel,
         )
     )
-    pids, scores = fn(dev_repl, q, None)
-    return pids[:b], scores[:b]
+    out = fn(dev_repl, q, sub_dev)
+    return tuple(x[:b] for x in out)

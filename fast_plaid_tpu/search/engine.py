@@ -139,6 +139,24 @@ def _allowed_cells_mask(
     return mask
 
 
+def _sort_pid_payload(
+    pid: jax.Array, payload: jax.Array, payload_bound: int, sent_pid: int
+) -> tuple[jax.Array, jax.Array]:
+    """Row-sort ``pid`` carrying ``payload`` (values in [0, payload_bound)).
+
+    Packs both into one int32 key (pid * 2^ceil(log2(bound)) + payload)
+    when the range fits, so XLA sorts ONE array instead of co-sorting two
+    (each compare-exchange pass of the variadic sort moves every operand).
+    Payload order within an equal-pid run is unspecified either way
+    (num_keys=1 co-sort is unstable too); callers only max-combine runs.
+    """
+    cpad = 1 << max(payload_bound - 1, 1).bit_length()
+    if (sent_pid + 1) * cpad < 2**31:
+        key_s = jnp.sort(pid * cpad + payload, axis=-1)
+        return key_s // cpad, key_s % cpad
+    return jax.lax.sort((pid, payload), dimension=-1, num_keys=1)
+
+
 def _dedup_sorted(x: jax.Array, sentinel) -> jax.Array:
     """Replace repeated values in a row-sorted array with ``sentinel``."""
     dup = jnp.concatenate(
@@ -307,10 +325,15 @@ def candidates_impl(
     # relative error is immaterial. f32 below 32k cells to keep small-k
     # numerics bit-stable.
     qc_dtype = jnp.bfloat16 if kp >= 32768 else jnp.float32
+    # In the bf16-table regime the matmul inputs go bf16 too (f32
+    # accumulation): the table only drives candidate heuristics, and the
+    # bf16-in matmul halves both MXU passes and the [B*Q, Kp] HBM write
+    # (measured 24 -> 13 ms per 256-query tile at Kp=32k before the
+    # epilogue cast; inputs-bf16 roughly halves again).
     scores_qc = (
         jnp.dot(
-            queries.reshape(b * q, d),
-            dev.centroids.T,
+            queries.reshape(b * q, d).astype(qc_dtype),
+            dev.centroids.T.astype(qc_dtype),
             preferred_element_type=jnp.float32,
         )
         .reshape(b, q, kp)
@@ -633,8 +656,12 @@ def candidates_impl(
         # ---- 4. sort by pid carrying the owning cell; per-query-token
         # estimates come from the tiny [B, c_sel, Q] probe-score table,
         # suffix-maxed within equal-pid runs (a doc appears at most once
-        # per cell, so runs are <= c_sel long).
-        pid_s, own_s = jax.lax.sort((pid, ownw), dimension=-1, num_keys=1)
+        # per cell, so runs are <= c_sel long). When (pid, owner) packs
+        # into one int32 key, a single-array sort replaces the 2-array
+        # co-sort (~1.5x at the bench width — XLA's variadic sort carries
+        # every operand through each compare-exchange pass); owner order
+        # within a run is irrelevant (the estimator max-combines it).
+        pid_s, own_s = _sort_pid_payload(pid, ownw, c_sel, sent_pid)
         cell_scores = jnp.take_along_axis(tbl, order_b[..., None], axis=1)[
             :, :c_sel
         ].astype(jnp.bfloat16)  # [B, c_sel, Q]
@@ -722,7 +749,7 @@ def candidates_impl(
 
     # ---- 4a. sort slots by pid (carrying the owning cell); runs of equal
     # pid are one candidate each. Sentinels sort to the back.
-    pid_s, cell_s = jax.lax.sort((pid, cell_slot), dimension=-1, num_keys=1)
+    pid_s, cell_s = _sort_pid_payload(pid, cell_slot, c_cells, sent_pid)
     is_start = jnp.concatenate(
         [jnp.ones((b, 1), bool), pid_s[:, 1:] != pid_s[:, :-1]], axis=-1
     ) & (pid_s != sent_pid)

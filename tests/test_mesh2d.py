@@ -79,3 +79,45 @@ def test_2d_pads_odd_batches(built):
 def test_mesh_validation():
     with pytest.raises(ValueError, match="need"):
         make_mesh_2d(4, 4, jax.devices("cpu")[:8])
+
+
+def test_2d_subset_and_tokens_match_1d(built):
+    """Subsets + token scores on the (r, d) mesh agree with the 1-D
+    doc-sharded path over the same sharded index."""
+    sharded, lens = built
+    rng = np.random.default_rng(11)
+    queries = rng.standard_normal((4, 6, DIM)).astype(np.float32)
+    n_docs = len(lens)
+    subsets = [sorted(rng.choice(n_docs, 40, replace=False).tolist())
+               for _ in range(4)]
+
+    mesh2d = make_mesh_2d(2, 4, jax.devices("cpu")[:8])
+    rep = replicate_sharded_index(sharded, mesh2d)
+
+    out2 = sharded_search_2d(
+        rep, queries, top_k=3, subset=subsets, want_tokens=True,
+        with_stats=True,
+    )
+    assert len(out2) == 5
+    p2, s2, t2, l2, st2 = (np.asarray(x) for x in out2)
+    assert st2.shape == (4, 2)
+
+    # 1-D reference over the same 4-shard index.
+    from fast_plaid_tpu.parallel.sharded import sharded_search as search_1d
+
+    out1 = search_1d(
+        sharded, queries, top_k=3, subset=subsets, want_tokens=True
+    )
+    p1, s1, t1, l1 = (np.asarray(x) for x in out1)
+
+    for b in range(4):
+        got = {int(p) for p in p2[b] if p >= 0}
+        assert got <= set(subsets[b])
+        if p1[b, 0] >= 0:
+            assert p2[b, 0] == p1[b, 0]
+            np.testing.assert_allclose(s2[b, 0], s1[b, 0], rtol=1e-5)
+            dlen = int(l2[b, 0])
+            assert dlen == int(l1[b, 0])
+            np.testing.assert_allclose(
+                t2[b, 0, :dlen], t1[b, 0, :dlen], rtol=1e-4, atol=1e-5
+            )

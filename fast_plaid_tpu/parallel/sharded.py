@@ -341,6 +341,7 @@ def _resolve_shard_params(
         cand_cap=cand_cap,
         rank_admit=rank_admit,
         slot_budget=slot_budget,
+        n_docs=ispec.n_docs,
     )
     return approx_mode, rank_admit, slot_budget, cand_cap
 

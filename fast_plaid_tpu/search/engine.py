@@ -1441,6 +1441,7 @@ def resolve_approx_mode(
     cand_cap: int | None,
     rank_admit: int | None = None,
     slot_budget: int | None = None,
+    n_docs: int | None = None,
 ) -> tuple[str, int, int | None]:
     """Resolve "auto" to a concrete (approx_mode, rank_admit, slot_budget).
 
@@ -1484,6 +1485,29 @@ def resolve_approx_mode(
             # resolve through expected = nan.
             mean_len = float(lens_h.mean()) if lens_h.size else 0.0
             expected = mean_len * n_cells
+            # Tie-degeneracy guard (adversarial-sweep finding, round 5):
+            # with very few partitions (probing keeps most cells for every
+            # token) AND p90 cells at pool scale, cell-granular estimates
+            # TIE across whole cells and the pool truncates arbitrarily
+            # among the ties — no budget fixes that (measured: planted
+            # hit@1 0.5-0.875 at k<=16 however the budget is sized). When
+            # the token-pool (n_full/4) can cover ~a quarter of the
+            # corpus, the reference-parity token-level estimator resolves
+            # the ties (measured hit@1 1.0 at every k<=16 shape);
+            # otherwise cells_full is the best measured option and the
+            # configuration is degenerate by construction (cells hold
+            # more docs than the caller's n_full_scores — the reference's
+            # own estimator loses the same planted probes there).
+            p90_len = float(np.quantile(lens_h, 0.9)) if lens_h.size else 0.0
+            if (
+                max(n_partitions, 1) <= 4 * n_ivf_probe
+                and p90_len >= max(n_full_scores // 2, 1)
+            ):
+                if n_docs is not None and n_full_scores // 4 >= max(
+                    n_docs // 4, 1
+                ):
+                    return "tokens", 0, slot_budget
+                return "cells_full", 0, slot_budget
             if expected > 6.0 * n_full_scores:
                 r_adm = 1
                 if expected > 32.0 * n_full_scores:

@@ -378,6 +378,7 @@ def search_on_device(
         cand_cap=cand_cap,
         rank_admit=rank_admit,
         slot_budget=slot_budget,
+        n_docs=ispec.n_docs,
     )
     b_tile = _tile_size(ispec, q_cap, mem_budget, nq)
     if cand_cap is not None:

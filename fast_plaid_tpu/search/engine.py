@@ -436,9 +436,14 @@ def candidates_impl(
     base_tab = offs - seg_start  # [B, C]
     cell_ids = jnp.arange(c_cells, dtype=jnp.int32)
 
-    if (
-        approx_mode in ("cells", "cells_full") and subset is None
-    ):  # fast cell-window path
+    def _subset_filter(pid: jax.Array) -> jax.Array:
+        """Sentinel-out pids not in the (row-sorted) subset [B, S]."""
+        pos = jax.vmap(jnp.searchsorted)(subset, pid)
+        pos = jnp.clip(pos, 0, subset.shape[1] - 1)
+        member = jnp.take_along_axis(subset, pos, axis=1) == pid
+        return jnp.where(member, pid, sent_pid)
+
+    if approx_mode in ("cells", "cells_full"):  # fast cell-window path
         # ---- 3/4/5 (cells, fast path). Cells are ordered by total query
         # score and taken WHOLE until the slot budget fills; their IVF
         # lists arrive via dynamic-slice windows — never a per-slot scalar
@@ -502,6 +507,8 @@ def candidates_impl(
             ) & cell_ok[..., None]
             width = c_sel * cell_cap
             pid = jnp.where(valid, win, sent_pid).reshape(b, width)
+            if subset is not None:
+                pid = _subset_filter(pid)
             vals = jnp.where(valid, ct_s[..., None], NEG).reshape(b, width)
 
             # dedup multi-cell docs: sort by pid, keep each run's max
@@ -552,6 +559,15 @@ def candidates_impl(
             order_b = jnp.argsort(-cell_tot, axis=-1)
         else:
             budget = min(cand_cap, max(k2, slot_budget or 0))
+            if subset is not None:
+                # Density-scaled budget: the slot budget counts EVERY doc in
+                # an admitted cell, but only ~S/n_docs of them survive the
+                # membership filter. Scale so the expected number of
+                # admitted SUBSET docs matches the unfiltered budget (the
+                # direct-subset pool in search_impl handles S <= 2*r_pool,
+                # so the scale here is bounded by ~n_docs/(2*r_pool)).
+                density = max(1, ispec.n_docs // max(subset.shape[1], 1))
+                budget = min(cand_cap, budget * density)
             typical = max(1, cand_cap // max(c_cells, 1))
             c_sel = min(c_cells, max(8, -(-2 * budget // typical)))
             # Giant-cell demotion: a hub cell (stopword-style — many times
@@ -649,6 +665,11 @@ def candidates_impl(
         valid = (iota_w[None, None, :] < rem[..., None]) & has[..., None]
         width = s_chunks * w
         pid = jnp.where(valid, win, sent_pid).reshape(b, width)
+        if subset is not None:
+            # Membership at slot granularity on the compact chunk table —
+            # the windowed realization of the reference's sorted-merge
+            # intersection (search.rs:544-547, 404-439).
+            pid = _subset_filter(pid)
         ownw = jnp.broadcast_to(
             owner[..., None], (b, s_chunks, w)
         ).reshape(b, width)
@@ -711,6 +732,10 @@ def candidates_impl(
                 over = jnp.maximum(total - kept, 0).astype(jnp.int32)
                 return p2, jnp.stack([jnp.zeros_like(over), over], axis=-1)
             budget_free = max(k2, slot_budget or 0)  # pre-cand_cap intent
+            if subset is not None:
+                budget_free = budget_free * max(
+                    1, ispec.n_docs // max(subset.shape[1], 1)
+                )
             ok_free = (csum_full - lens_o) < budget_free
             target_free = jnp.sum(jnp.where(ok_free, lens_o, 0), axis=-1)
             target_cap = jnp.sum(jnp.where(ok_full, lens_o, 0), axis=-1)
@@ -1102,23 +1127,41 @@ def search_impl(
     queries = queries.astype(jnp.float32)  # f16 wire staging -> f32 math
     doc_cap = ispec.doc_cap
     sent_pid = ispec.sentinel_pid
-    cand_out = candidates_impl(
-        dev,
-        queries,
-        subset,
-        ispec=ispec,
-        n_ivf_probe=n_ivf_probe,
-        n_full_scores=n_full_scores,
-        mem_budget=mem_budget,
-        cand_cap=cand_cap,
-        approx_mode=approx_mode,
-        with_stats=with_stats,
-        slot_budget=slot_budget,
-        use_estimate_kernel=use_estimate_kernel,
-        pool_divisor=pool_divisor,
-        rank_admit=rank_admit,
-    )
-    p2, stats = cand_out if with_stats else (cand_out, None)
+    r_pool = max(n_full_scores // pool_divisor, 1)
+    if subset is not None and subset.shape[1] <= 2 * r_pool:
+        # Direct-subset pool: when the subset fits within ~2x the normal
+        # exact-rerank pool, skip the IVF cascade entirely and exact-rerank
+        # EVERY subset document. Strictly better recall than the
+        # reference's probe-restrict + intersect realization
+        # (search.rs:494-517, 544-547) — the result equals brute-force
+        # MaxSim restricted to the subset — and cheaper: the whole
+        # candidate stage (probe, window gather, sort, estimate) is
+        # skipped for a rerank at most 2x the unfiltered pool. Larger
+        # subsets take the density-scaled cascade in candidates_impl.
+        sub_s = jnp.sort(subset.astype(jnp.int32), axis=-1)
+        sub_s = _dedup_sorted(sub_s, sent_pid)
+        p2 = jnp.where((sub_s < 0) | (sub_s >= ispec.n_docs), sent_pid, sub_s)
+        stats = (
+            jnp.zeros((queries.shape[0], 2), jnp.int32) if with_stats else None
+        )
+    else:
+        cand_out = candidates_impl(
+            dev,
+            queries,
+            subset,
+            ispec=ispec,
+            n_ivf_probe=n_ivf_probe,
+            n_full_scores=n_full_scores,
+            mem_budget=mem_budget,
+            cand_cap=cand_cap,
+            approx_mode=approx_mode,
+            with_stats=with_stats,
+            slot_budget=slot_budget,
+            use_estimate_kernel=use_estimate_kernel,
+            pool_divisor=pool_divisor,
+            rank_admit=rank_admit,
+        )
+        p2, stats = cand_out if with_stats else (cand_out, None)
 
     b, q, d = queries.shape
     r = p2.shape[1]

@@ -201,23 +201,113 @@ def colbert_proxy_corpus(
 
 
 def exact_maxsim_topk(
-    documents: list[np.ndarray], queries: np.ndarray, top_k: int
+    documents: list[np.ndarray],
+    queries: np.ndarray,
+    top_k: int,
+    device: bool | None = None,
 ) -> list[list[tuple[int, float]]]:
     """Exhaustive MaxSim ranking (the ground truth an ANN engine chases).
 
-    Computed in blocked numpy on the host; fine up to ~10^4 docs.
+    Host path: blocked numpy with ``np.maximum.reduceat`` segment maxima
+    (the per-document Python loop it replaces measured minutes at 10^4
+    docs on a single-core host). Device path (``device=True``, or
+    auto-selected when an accelerator backend is default and the corpus
+    is large): blocked bf16 MaxSim on the accelerator — 28 TFLOP for the
+    57k-doc BEIR-shape truth, intractable on a 1-core host. bf16 input
+    rounding perturbs scores ~1e-3 relative, symmetric noise for any two
+    systems ranked against the same truth.
     """
-    flat = np.concatenate(documents, axis=0)
     lens = np.asarray([d.shape[0] for d in documents])
+    if device is None:
+        try:
+            import jax
+
+            backend_ok = jax.default_backend() not in ("cpu",)
+        except Exception:
+            backend_ok = False
+        device = backend_ok and int(lens.sum()) * len(queries) > 2**31
+    if device:
+        return _exact_maxsim_topk_device(documents, queries, top_k)
+    flat = np.concatenate(documents, axis=0)
     starts = np.concatenate([[0], np.cumsum(lens)])
     out = []
     for q in queries:  # [Lq, D]
         sims = flat @ q.T  # [T, Lq]
-        scores = np.empty(len(documents), np.float32)
-        for i in range(len(documents)):
-            scores[i] = sims[starts[i] : starts[i + 1]].max(axis=0).sum()
+        seg_max = np.maximum.reduceat(sims, starts[:-1], axis=0)
+        scores = seg_max.sum(axis=1).astype(np.float32)
         top = np.argsort(-scores)[:top_k]
         out.append([(int(p), float(scores[p])) for p in top])
+    return out
+
+
+def _exact_maxsim_topk_device(
+    documents: list[np.ndarray],
+    queries: np.ndarray,
+    top_k: int,
+    doc_block: int = 512,
+    q_block: int = 8,
+) -> list[list[tuple[int, float]]]:
+    """Accelerator exhaustive MaxSim: stream padded doc blocks, score each
+    against every query with MXU matmuls, keep running scores on host."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    nq, lq, dim = queries.shape
+    n = len(documents)
+    lens = np.asarray([d.shape[0] for d in documents], np.int32)
+    cap = int(-(-int(lens.max()) // 8) * 8)
+    qpad = (-nq) % q_block
+    qs = jnp.asarray(
+        np.pad(queries, ((0, qpad), (0, 0), (0, 0))).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    nqp = nq + qpad
+
+    @jax.jit
+    def block_scores(blk, blk_lens, qs):
+        # blk [bs, cap, D] bf16, blk_lens [bs] -> [nqp, bs] f32
+        bs = blk.shape[0]
+        tok_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (bs, cap), 1)
+            < blk_lens[:, None]
+        )
+        flat = blk.reshape(bs * cap, dim)
+
+        def one(qc):  # [q_block, Lq, D] -> [q_block, bs]
+            sims = jax.lax.dot_general(
+                flat,
+                qc.reshape(q_block * lq, dim),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(bs, cap, q_block, lq)
+            sims = jnp.where(tok_ok[:, :, None, None], sims, -jnp.inf)
+            per_tok = jnp.max(sims, axis=1)  # [bs, q_block, Lq]
+            per_tok = jnp.where(jnp.isneginf(per_tok), 0.0, per_tok)
+            return jnp.sum(per_tok, axis=-1).T  # [q_block, bs]
+
+        out = jax.lax.map(one, qs.reshape(nqp // q_block, q_block, lq, dim))
+        return out.reshape(nqp, bs)
+
+    scores = np.empty((nq, n), np.float32)
+    for s0 in range(0, n, doc_block):
+        rows = documents[s0 : s0 + doc_block]
+        bs = len(rows)
+        # Fixed block shape (zero-length padding rows) — one compile.
+        blk = np.zeros((doc_block, cap, dim), np.float32)
+        blk_lens = np.zeros((doc_block,), np.int32)
+        for i, d in enumerate(rows):
+            blk[i, : d.shape[0]] = d
+        blk_lens[:bs] = lens[s0 : s0 + bs]
+        got = block_scores(
+            jnp.asarray(blk.astype(ml_dtypes.bfloat16)),  # bf16 on the wire
+            jnp.asarray(blk_lens),
+            qs,
+        )
+        scores[:, s0 : s0 + bs] = np.asarray(got)[:nq, :bs]
+    out = []
+    for qi in range(nq):
+        top = np.argsort(-scores[qi])[:top_k]
+        out.append([(int(p), float(scores[qi][p])) for p in top])
     return out
 
 

@@ -39,6 +39,7 @@ def run(
     generator: str = "topic",
     pool_divisor: int | None = None,
     doc_len: int | None = None,
+    sweep_divisors: list[int] | None = None,
 ):
     from fast_plaid_tpu.evaluation import evaluate
     from fast_plaid_tpu.evaluation.synthetic import (
@@ -88,6 +89,17 @@ def run(
         )
         cascade_s = time.perf_counter() - t0
 
+        # Optional rerank-pool sweep on the SAME index/truth: quality vs
+        # pool size R = n_full_scores / divisor (the rerank stage is
+        # descriptor-bound, so R is the dominant search-cost knob).
+        sweep = {}
+        for div in sweep_divisors or []:
+            t0 = time.perf_counter()
+            rows = engine.search(
+                queries, top_k=100, show_progress=False, pool_divisor=div
+            )
+            sweep[div] = (rows, time.perf_counter() - t0)
+
     metrics = ["ndcg@10", "recall@10", "recall@100", "mrr@10"]
 
     def score(rows):
@@ -123,6 +135,19 @@ def run(
         ),
         "target": "<= 0.01",
     }
+    if sweep:
+        out["pool_divisor_sweep"] = {
+            str(div): {
+                **score(rows),
+                "cascade_search_s": round(dt, 2),
+                "ndcg10_gap_vs_exact_decompressed": round(
+                    out["exact_decompressed"]["ndcg@10"]
+                    - score(rows)["ndcg@10"],
+                    4,
+                ),
+            }
+            for div, (rows, dt) in sweep.items()
+        }
     return out
 
 
@@ -135,6 +160,12 @@ def main():
     ap.add_argument("--device", default=None)
     ap.add_argument("--pool-divisor", type=int, default=None)
     ap.add_argument("--doc-len", type=int, default=None)
+    ap.add_argument(
+        "--sweep-divisors",
+        default=None,
+        help="comma-separated pool divisors to additionally evaluate on "
+        "the same index + truth (e.g. 4,8)",
+    )
     ap.add_argument("--out", default=None, help="result file name override")
     ap.add_argument(
         "--generator",
@@ -148,6 +179,11 @@ def main():
         args.docs, args.queries, args.dim, args.seed, args.device,
         generator=args.generator, pool_divisor=args.pool_divisor,
         doc_len=args.doc_len,
+        sweep_divisors=(
+            [int(x) for x in args.sweep_divisors.split(",")]
+            if args.sweep_divisors
+            else None
+        ),
     )
     os.makedirs(os.path.join(os.path.dirname(__file__), "results"), exist_ok=True)
     name = args.out or (

@@ -228,12 +228,12 @@ def run_chip(args):
             slot_budget=slot_budget,
         )
 
-    def run(batch, mode):
+    def run(batch, mode, subset=None):
         mode, rank_admit, budget = resolve(mode)
         return search_core(
             dev,
             batch,
-            None,
+            subset,
             ispec=ispec,
             top_k=10,
             n_ivf_probe=args.probe,
@@ -251,19 +251,35 @@ def run_chip(args):
 
     tiles = [gen_q(jax.random.PRNGKey(50 + i)) for i in range(4)]
     jax.block_until_ready(tiles)
+    subset = None
+    if args.subset_size:
+        # Per-query random sorted subsets (the C5 filtered-search workload):
+        # direct-pool regime when S <= 2 * (n_full_scores / pool_divisor),
+        # density-scaled cascade beyond it (engine.search_impl).
+        s_rng = np.random.default_rng(7)
+        sub_np = np.sort(
+            np.stack([
+                s_rng.choice(args.docs, args.subset_size, replace=False)
+                for _ in range(tile_b)
+            ]).astype(np.int32),
+            axis=-1,
+        )
+        subset = jnp.asarray(sub_np)
     for mode in (args.approx or "cells").split(","):
         # TRUE warmup: pull a value — through a remote-compile service,
         # block_until_ready returns early while compilation is in flight
         # (see bench.py), which would let compile tail (or worse, the
         # timed executions themselves) escape the timed region.
-        float(np.asarray(run(tiles[0], mode)[1]).ravel()[0])
+        float(np.asarray(run(tiles[0], mode, subset)[1]).ravel()[0])
         t0 = time.perf_counter()
-        outs = [run(t, mode) for t in tiles[1:]]
+        outs = [run(t, mode, subset) for t in tiles[1:]]
         jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / 3
         qps = tile_b / dt
 
-        # Planted-duplicate spot check.
+        # Planted-duplicate spot check (planted pid spliced into its
+        # query's subset row when filtering, so hit@1 = 1.0 stays the
+        # contract).
         rng = np.random.default_rng(2)
         probe_pids = rng.integers(0, args.docs, min(tile_b, 32))
         queries = planted_queries(
@@ -271,7 +287,16 @@ def run_chip(args):
         )
         qpad = np.zeros((tile_b, q_len, args.dim), np.float32)
         qpad[: len(queries)] = queries
-        pids = np.asarray(run(jnp.asarray(qpad), mode)[0])[: len(probe_pids)]
+        p_subset = subset
+        if subset is not None:
+            sub_pl = np.asarray(subset).copy()
+            for i, pid in enumerate(probe_pids):
+                if pid not in sub_pl[i]:
+                    sub_pl[i, 0] = pid
+            p_subset = jnp.asarray(np.sort(sub_pl, axis=-1))
+        pids = np.asarray(
+            run(jnp.asarray(qpad), mode, p_subset)[0]
+        )[: len(probe_pids)]
         hit1 = float(np.mean(pids[:, 0] == probe_pids))
         r_mode, r_rank, r_budget = resolve(mode)
         print(
@@ -324,6 +349,13 @@ def main():
     )
     ap.add_argument("--sample-docs", type=int, default=None)
     ap.add_argument("--free-residuals", action="store_true")
+    ap.add_argument(
+        "--subset-size",
+        type=int,
+        default=None,
+        help="per-query random subset size (chip mode): measures the "
+        "filtered-search paths (direct pool / density-scaled cascade)",
+    )
     ap.add_argument(
         "--approx",
         default=None,

@@ -493,23 +493,33 @@ def search_on_device(
             return
         pruned_total += int(stats[: end - start, 0].sum())
         overflow_total += int(stats[: end - start, 1].sum())
+        # Bulk ndarray->python conversion: one tolist() per tile instead of
+        # b_tile*top_k scalar int()/float() calls (each is a numpy scalar
+        # __index__/__float__ round trip; the emit loop is host-bound on
+        # single-core bench hosts).
+        pids_l = pids[: end - start].tolist()
+        scores_l = scores[: end - start].tolist()
         for bi in range(end - start):
             if (start + bi) in bad_queries:
                 results.append([])
                 continue
             qlen = q_lens[start + bi]
-            row = []
-            for ki in range(pids.shape[1]):
-                pid = int(pids[bi, ki])
-                if pid < 0:
-                    continue
-                score = float(scores[bi, ki])
-                if want_tokens:
+            if want_tokens:
+                row = []
+                for ki, (pid, score) in enumerate(
+                    zip(pids_l[bi], scores_l[bi])
+                ):
+                    if pid < 0:
+                        continue
                     dlen = int(doc_lens[bi, ki])
                     mat = np.asarray(tok[bi, ki, :dlen, :qlen]).T.copy()
                     row.append((pid, score, mat))
-                else:
-                    row.append((pid, score))
+            else:
+                row = [
+                    (pid, score)
+                    for pid, score in zip(pids_l[bi], scores_l[bi])
+                    if pid >= 0
+                ]
             results.append(row)
 
     if loaded.low_memory:

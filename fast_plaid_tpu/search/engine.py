@@ -1234,11 +1234,24 @@ def search_impl(
         # Pallas fused gather+MaxSim (TPU only): candidate rows stream
         # HBM->VMEM once and only [B, R] scores come back — no decompressed
         # [B, R, doc_cap, D] tile ever lands in HBM (ops/rerank_kernel.py).
+        # When the tile's pools overlap (small corpus against B*R), the
+        # dedup variant DMAs each *unique* row once instead
+        # (ops/rerank_dedup.py) — the kernels are descriptor-issue-bound,
+        # so descriptor count is the cost.
+        from fast_plaid_tpu.ops.rerank_dedup import (
+            dedup_viable,
+            maxsim_gather_scores_dedup,
+        )
         from fast_plaid_tpu.ops.rerank_kernel import maxsim_gather_scores
 
-        exact = maxsim_gather_scores(
-            dev.emb_cache, p2, dev.doc_lengths[p2], queries
-        )
+        if dedup_viable(dev.emb_cache.shape[0], b, r, q, d):
+            exact = maxsim_gather_scores_dedup(
+                dev.emb_cache, p2, dev.doc_lengths[p2], queries
+            )
+        else:
+            exact = maxsim_gather_scores(
+                dev.emb_cache, p2, dev.doc_lengths[p2], queries
+            )
     else:
         # Chunk over the rerank set with gathers INSIDE each chunk so the
         # [B, R, doc_cap, ...] token tensors never materialize in full.

@@ -39,6 +39,7 @@ from fast_plaid_tpu.index.layout import (
     round_up,
 )
 from fast_plaid_tpu.ops import codec
+from fast_plaid_tpu.ops.maxsim import NEG_INF as MAXSIM_NEG
 from fast_plaid_tpu.ops.maxsim import maxsim_reduce
 
 __all__ = [
@@ -805,8 +806,21 @@ def candidates_impl(
         # ---- 4b'. token-level approximate scoring (reference parity).
         cand = jnp.where(is_start, pid_s, sent_pid)
         cand = jnp.sort(cand, axis=-1)  # compact uniques to the front
-        scores_kq = scores_qc.transpose(0, 2, 1)  # [B, kp, Q]
-        a_chunk = max(8, min(cand_cap, mem_budget // max(1, b * doc_cap * q * 4)))
+        # bf16 score table: halves the gathered-row footprint, and the
+        # estimate only feeds a top-k prune (far inside bf16 resolution).
+        scores_kq = scores_qc.transpose(0, 2, 1).astype(jnp.bfloat16)
+        # Chunk candidates AND doc positions. The gather's minor dim is Q,
+        # tiled to 128 lanes (4x expansion at Q=32), and the [B, A, T, Q]
+        # block must stay small enough for XLA to fuse the gather with the
+        # running max in VMEM — the unchunked gather materializes the
+        # lane-padded tensor in HBM (measured 16 GB at doc_cap 304,
+        # cand_cap 27k, B 8: the round-5 BEIR-shape OOM/zero-results).
+        q_lanes = ((q + 127) // 128) * 128
+        t_blk = min(doc_cap, 64)
+        a_chunk = max(
+            8,
+            min(cand_cap, mem_budget // max(1, b * t_blk * q_lanes * 2)),
+        )
         n_chunks = _chunk_count(cand_cap, a_chunk)
         cand_p = _pad_to(cand, n_chunks * a_chunk, 1, sent_pid)
         cand_chunks = cand_p.reshape(b, n_chunks, a_chunk).transpose(1, 0, 2)
@@ -815,12 +829,16 @@ def candidates_impl(
             def do(p: jax.Array) -> jax.Array:
                 valid = _doc_mask(dev, p, doc_cap)
                 tok_codes = dev.codes[p]  # [B, A, doc_cap]
-
-                def per_b(s_kq: jax.Array, c: jax.Array) -> jax.Array:
-                    return s_kq[c]  # [A, doc_cap, Q]
-
-                g = jax.vmap(per_b)(scores_kq, tok_codes)
-                sc = maxsim_reduce(g, valid)
+                mx = jnp.full((*p.shape, q), MAXSIM_NEG, jnp.float32)
+                for t0 in range(0, doc_cap, t_blk):  # static doc blocks
+                    c_b = tok_codes[:, :, t0 : t0 + t_blk]
+                    v_b = valid[:, :, t0 : t0 + t_blk]
+                    g = jax.vmap(lambda s, c: s[c])(scores_kq, c_b)
+                    g = jnp.where(
+                        v_b[..., None], g.astype(jnp.float32), MAXSIM_NEG
+                    )
+                    mx = jnp.maximum(mx, jnp.max(g, axis=2))
+                sc = jnp.sum(mx, axis=-1)  # empty rows -> Q * MAXSIM_NEG
                 return jnp.where(p == sent_pid, NEG, sc)
 
             # Uniques are compacted to the front, so tail chunks are often

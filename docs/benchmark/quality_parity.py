@@ -45,11 +45,13 @@ def run(
     from fast_plaid_tpu.evaluation.synthetic import (
         colbert_proxy_corpus,
         exact_maxsim_topk,
+        graded_qrels,
         topic_corpus,
         truth_qrels,
     )
     from fast_plaid_tpu.search import FastPlaid
 
+    graded = generator == "colbert_proxy_graded"
     gen = topic_corpus if generator == "topic" else colbert_proxy_corpus
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
@@ -58,13 +60,23 @@ def run(
         # BEIR regime (reference benchmark.py:47 truncates documents at
         # 300 tokens): mean at the cap's neighborhood, capped at doc_len.
         gen_kw = {"mean_len": int(doc_len * 0.8), "max_len": int(doc_len)}
-    docs, queries, _ = gen(rng, n_docs, n_queries, dim=dim, **gen_kw)
+    if graded:
+        # Graded-relevance protocol (the reference's actual one: BEIR
+        # qrels, not exhaustive MaxSim — benchmark.py evaluates against
+        # dataset qrels). 5 relevant docs per query with descending
+        # term-match counts; the metric ceiling is what exhaustive
+        # search over the same embeddings achieves.
+        gen_kw["graded_targets"] = 5
+    docs, queries, targets = gen(rng, n_docs, n_queries, dim=dim, **gen_kw)
     print(f"# corpus: {n_docs} docs / {n_queries} queries "
           f"({time.perf_counter() - t0:.1f}s)")
 
     t0 = time.perf_counter()
     truth = exact_maxsim_topk(docs, queries, top_k=100)
-    qids, qrels = truth_qrels(truth, depth=10)
+    if graded:
+        qids, qrels = graded_qrels(targets)
+    else:
+        qids, qrels = truth_qrels(truth, depth=10)
     print(f"# exact truth on raw embeddings ({time.perf_counter() - t0:.1f}s)")
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -114,11 +126,16 @@ def run(
             "n_queries": n_queries,
             "dim": dim,
             "seed": seed,
-            "generator": f"evaluation.synthetic.{'topic_corpus' if generator == 'topic' else 'colbert_proxy_corpus'}",
+            "generator": f"evaluation.synthetic.{generator}",
             "doc_len": doc_len,
             "pool_divisor": pool_divisor,
         },
-        "truth": "exhaustive MaxSim on raw embeddings, qrels = top-10",
+        "truth": (
+            "generator graded qrels (5 docs/query, relevance 5..1)"
+            if graded
+            else "exhaustive MaxSim on raw embeddings, qrels = top-10"
+        ),
+        "exact_raw": score(truth) if graded else None,
         "exact_decompressed": score(exact_dec),
         "cascade_default": score(cascade),
         "timing_s": {
@@ -170,7 +187,7 @@ def main():
     ap.add_argument(
         "--generator",
         default="topic",
-        choices=["topic", "colbert_proxy"],
+        choices=["topic", "colbert_proxy", "colbert_proxy_graded"],
         help="corpus statistics: plain topic model or the ColBERT proxy "
         "(anisotropy + hub tokens + lexical query matches + MASK padding)",
     )

@@ -86,3 +86,37 @@ def test_cascade_parity_on_colbert_proxy(test_index_path):
     )
     assert m_exact["ndcg@10"] >= 0.85, m_exact
     assert m_cascade["ndcg@10"] >= 0.85, m_cascade
+
+
+def test_graded_targets_rank_in_grade_order():
+    """Graded mode plants a measurable ranking task above the tie sea.
+
+    At long doc lengths the plain proxy's same-topic docs are structural
+    MaxSim near-ties (see synthetic.colbert_proxy_corpus docstring);
+    graded mode splits lexical tokens across 5 docs with descending
+    counts. Exhaustive truth must rank higher grades better, and grade 1
+    must dominate.
+    """
+    from fast_plaid_tpu.evaluation.synthetic import graded_qrels
+
+    rng = np.random.default_rng(3)
+    docs, queries, targets = colbert_proxy_corpus(
+        rng, 800, 16, dim=128, mean_len=160, max_len=240, graded_targets=5
+    )
+    assert targets.shape == (16, 5)
+    truth = exact_maxsim_topk(docs, queries, top_k=100)
+    ranks = np.full((16, 5), 10_000)
+    for qi, row in enumerate(truth):
+        pos = {p: r for r, (p, _) in enumerate(row)}
+        for gi in range(5):
+            ranks[qi, gi] = pos.get(int(targets[qi, gi]), 10_000)
+    # Grade 1 dominates (top-10 for ~every query); mean rank grows with
+    # the grade.
+    assert (ranks[:, 0] < 10).mean() >= 0.9, ranks[:, 0]
+    assert np.median(ranks[:, 0]) == 0, ranks[:, 0]
+    m = ranks.astype(float).mean(axis=0)
+    assert m[0] < m[1] < m[4], m
+
+    qids, qrels = graded_qrels(targets)
+    assert qrels["q0"][str(int(targets[0, 0]))] == 5
+    assert qrels["q0"][str(int(targets[0, 4]))] == 1

@@ -825,6 +825,10 @@ def candidates_impl(
         cand_p = _pad_to(cand, n_chunks * a_chunk, 1, sent_pid)
         cand_chunks = cand_p.reshape(b, n_chunks, a_chunk).transpose(1, 0, 2)
 
+        kp_tab = scores_kq.shape[1]
+        flat_tab = scores_kq.reshape(b * kp_tab, q)
+        tab_off = (jnp.arange(b, dtype=jnp.int32) * kp_tab)[:, None, None]
+
         def approx_chunk(pids: jax.Array) -> jax.Array:  # [B, A] -> [B, A]
             def do(p: jax.Array) -> jax.Array:
                 valid = _doc_mask(dev, p, doc_cap)
@@ -833,7 +837,10 @@ def candidates_impl(
                 for t0 in range(0, doc_cap, t_blk):  # static doc blocks
                     c_b = tok_codes[:, :, t0 : t0 + t_blk]
                     v_b = valid[:, :, t0 : t0 + t_blk]
-                    g = jax.vmap(lambda s, c: s[c])(scores_kq, c_b)
+                    # One flat row gather (batch folded into the row id):
+                    # a 2-D row gather lowers efficiently where the
+                    # per-batch vmap'd fancy-index does not.
+                    g = flat_tab[c_b + tab_off]  # [B, A, t_blk, Q] bf16
                     g = jnp.where(
                         v_b[..., None], g.astype(jnp.float32), MAXSIM_NEG
                     )
